@@ -1,0 +1,716 @@
+"""Driver-contract query suite: every SQL-expressible operator from
+SURVEY.md §2 as a (PySpark callable, DuckDB oracle SQL) pair over the
+driver's testdata tables, plus the crawl-specific and training-data
+operators (dedup / similarity / text analysis).
+
+Design rules:
+- Spark side and oracle SQL derive any synthetic columns with the SAME
+  deterministic integer/string arithmetic so results are comparable.
+- Every computed column is aliased identically on both sides.
+- Float aggregates are rounded (4-5 dp) to absorb summation-order ulps.
+- Window ranks are cast to the same integer width on both sides.
+
+The HTML-extraction query (``crawl_extract_detail``) synthesizes page
+bodies with pure SQL string concat on both sides; the oracle computes
+the expected fields directly from the generating expressions while the
+Spark side must *parse* the HTML with the real extraction UDF — so the
+reference byte-identity invariant is checked inside the driver's
+correctness gate too, not just in pytest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.extract import FIELD_SEP, extract_detail_udf
+from .operators.preprocess import (
+    ALLOWED_SUFFIXES,
+    SIZE_CAP,
+    basename_from_url,
+    suffix_of,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Derived "artifacts" table — the projects.csv analog, built from
+# `documents` with identical arithmetic in Spark and SQL.
+# ---------------------------------------------------------------------------
+
+_SUFFIX_LIST = [".zip", ".rar", ".schematic", ".schem", ".litematic", ".txt", ".nbt"]
+
+_ARTIFACTS_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE
+           'https://static.planetminecraft.com/files/b' || CAST(doc_id AS VARCHAR)
+           || list_extract(['.zip','.rar','.schematic','.schem','.litematic','.txt','.nbt'],
+                           CAST(doc_id % 7 AS INT) + 1)
+         END AS raw_download_link,
+         (doc_id * 104729) % 80000000 AS download_size
+  FROM documents
+"""
+
+
+def _artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _SUFFIX_LIST]), (d % 7).cast("int") + 1
+    )
+    url = F.concat(
+        F.lit("https://static.planetminecraft.com/files/b"),
+        d.cast("string"),
+        suffix,
+    )
+    return docs.select(
+        d.alias("doc_id"),
+        F.when(d % 5 == 0, F.lit(None)).otherwise(url).alias("raw_download_link"),
+        ((d * 104729) % 80000000).alias("download_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preprocess pipeline (F3 dropna → P7 filename → F4 size cap → P8 suffix
+# → F5 whitelist)  [preprocess.py:46-65]
+# ---------------------------------------------------------------------------
+
+@_q(
+    "preprocess_filter",
+    f"""
+    WITH art AS ({_ARTIFACTS_SQL})
+    SELECT doc_id, filename,
+           CASE WHEN regexp_extract(filename, '^\\.?[^.]*$', 0) != '' THEN ''
+                ELSE regexp_extract(filename, '(\\.[^./\\\\]+)$', 1) END AS suffix,
+           download_size
+    FROM (
+      SELECT doc_id, download_size,
+             (string_split(raw_download_link, '/'))[-1] AS filename
+      FROM art
+      WHERE raw_download_link IS NOT NULL AND download_size <= {SIZE_CAP}
+    )
+    WHERE CASE WHEN regexp_extract(filename, '^\\.?[^.]*$', 0) != '' THEN ''
+               ELSE regexp_extract(filename, '(\\.[^./\\\\]+)$', 1) END
+          IN ('.zip','.rar','.schematic','.schem')
+    """,
+)
+def preprocess_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    art = _artifacts(spark, sf_dir)
+    return (
+        art.filter(F.col("raw_download_link").isNotNull())  # F3
+        .filter(F.col("download_size") <= SIZE_CAP)  # F4
+        .withColumn("filename", basename_from_url("raw_download_link"))  # P7
+        .withColumn("suffix", suffix_of("filename"))  # P8
+        .filter(F.col("suffix").isin(ALLOWED_SUFFIXES))  # F5
+        .select("doc_id", "filename", "suffix", "download_size")
+    )
+
+
+@_q(
+    "filename_regex",
+    f"""
+    WITH art AS ({_ARTIFACTS_SQL})
+    SELECT doc_id,
+           nullif(regexp_extract(raw_download_link || CASE WHEN doc_id % 3 = 0
+                      THEN '?X-Sig=' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END,
+                  '([^/\\\\&\\?]+\\.\\w{{3,4}})([\\?&][^/]*)?$', 1), '') AS filename
+    FROM art WHERE raw_download_link IS NOT NULL
+    """,
+)
+def filename_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 exact reference regex (lookahead runs fine on the JVM); the
+    oracle uses the RE2-safe equivalent — equality is part of the gate."""
+    from .operators.preprocess import filename_from_url
+
+    art = _artifacts(spark, sf_dir).filter(F.col("raw_download_link").isNotNull())
+    with_query = F.concat(
+        F.col("raw_download_link"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?X-Sig="), (F.col("doc_id") % 97).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return art.select("doc_id", filename_from_url(with_query).alias("filename"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations A1-A3, A6-A8; top-k T5/T6; outliers F12  [preprocess.py:82-191]
+# ---------------------------------------------------------------------------
+
+@_q(
+    "suffix_distribution",
+    f"""
+    WITH art AS ({_ARTIFACTS_SQL}),
+    s AS (SELECT CASE WHEN regexp_extract((string_split(raw_download_link,'/'))[-1],
+                       '(\\.[^./\\\\]+)$', 1) = '' THEN ''
+                 ELSE regexp_extract((string_split(raw_download_link,'/'))[-1],
+                       '(\\.[^./\\\\]+)$', 1) END AS suffix
+          FROM art WHERE raw_download_link IS NOT NULL)
+    SELECT suffix, ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+    FROM s GROUP BY suffix
+    """,
+)
+def suffix_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — value_counts(normalize=True)*100 (preprocess.py:87-89)."""
+    art = _artifacts(spark, sf_dir).filter(F.col("raw_download_link").isNotNull())
+    s = art.select(suffix_of(basename_from_url("raw_download_link")).alias("suffix"))
+    counts = s.groupBy("suffix").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "suffix",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(Window.partitionBy()), 4).alias("pct"),
+    )
+
+
+@_q(
+    "tag_frequency",
+    """
+    SELECT tag, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS tag FROM part)
+    GROUP BY tag
+    """,
+)
+def tag_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — explode list column and count (preprocess.py:163-166)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("tag"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "top_tags",
+    """
+    SELECT tag, n, rank FROM (
+      SELECT tag, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tag) AS INT) AS rank
+      FROM (SELECT tag, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(p_type, ' ')) AS tag FROM part)
+            GROUP BY tag)
+    ) WHERE rank > 1 AND rank <= 30
+    """,
+)
+def top_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — value_counts().head(30)[1:] (preprocess.py:166-170)."""
+    freq = tag_frequency(spark, sf_dir)
+    w = Window.orderBy(F.col("n").desc(), F.col("tag"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > 1) & (F.col("rank") <= 30))
+        .select("tag", "n", "rank")
+    )
+
+
+@_q(
+    "quartiles",
+    """
+    SELECT ROUND(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS q1,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 4) AS q3
+    FROM orders
+    """,
+)
+def quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — exact linear-interpolation quartiles (preprocess.py:186-188)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+
+
+@_q(
+    "outlier_removal",
+    """
+    WITH b AS (
+      SELECT CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS q1,
+             CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS q3
+      FROM orders)
+    SELECT COUNT(*) AS n_kept, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders, b
+    WHERE o_totalprice >= q1 - 1.5 * (q3 - q1)
+      AND o_totalprice <= q3 + 1.5 * (q3 - q1)
+    """,
+)
+def outlier_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — IQR filter (preprocess.py:185-191); bounds folded into the
+    scan predicate (no join)."""
+    from .operators.preprocess import remove_outliers
+
+    orders = _t(spark, sf_dir, "orders")
+    kept = remove_outliers(orders, "o_totalprice")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_q(
+    "mode_returnflag",
+    """
+    SELECT l_returnflag AS mode_flag FROM (
+      SELECT l_returnflag, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_returnflag) AS rn
+      FROM lineitem GROUP BY l_returnflag) WHERE rn = 1
+    """,
+)
+def mode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — most-common value with a deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.col("n").desc(), F.col("l_returnflag"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l_returnflag").alias("mode_flag"))
+    )
+
+
+@_q(
+    "nation_acctbal_extents",
+    """
+    SELECT c_nationkey,
+           ROUND(MIN(c_acctbal), 4) AS min_bal,
+           ROUND(MAX(c_acctbal), 4) AS max_bal,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def nation_acctbal_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 — min/max extents + mean per group (world2vec.py:341-344,457-459)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins J1-J3, set ops U1  [selenium_scraper.py:165-175; preprocess.py:71-73]
+# ---------------------------------------------------------------------------
+
+@_q(
+    "semi_join_downloaded",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def semi_join_downloaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — projects ⋉ files-on-disk (preprocess.py:71-73)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@_q(
+    "anti_join_unseen",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/F1 — the URL-seen anti-join shape (selenium_scraper.py:165-168):
+    customers with no open order (non-empty at every sf)."""
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "broadcast_dim_lookup",
+    """
+    SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def broadcast_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — token-dictionary-style broadcast lookup (world2vecDriver.py:225-241)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@_q(
+    "union_dedup_first_occurrence",
+    """
+    WITH u AS (
+      SELECT text, doc_id AS seq FROM documents
+      UNION ALL
+      SELECT text, doc_id + 1000000 AS seq FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT text, MIN(seq) AS first_seq, COUNT(*) AS n_occurrences
+    FROM u GROUP BY text
+    """,
+)
+def union_dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + exact dedup — union with FIFO-preserving first-occurrence
+    semantics (selenium_scraper.py:165-175): min(seq) per key."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("text", F.col("doc_id").alias("seq"))
+    b = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "text", (F.col("doc_id") + 1_000_000).alias("seq")
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("text")
+        .agg(F.min("seq").alias("first_seq"), F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / cursors T1-T4  [selenium_scraper.py:196-218, 286-311]
+# ---------------------------------------------------------------------------
+
+@_q(
+    "priority_dequeue_topk",
+    """
+    SELECT user_id, event_id, ts, rank FROM (
+      SELECT user_id, event_id, ts,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rank
+      FROM events)
+    WHERE rank <= 3
+    """,
+)
+def priority_dequeue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 — the politeness dequeue shape: top-k per partition key by
+    an explicit total order."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "ts", "rank")
+    )
+
+
+@_q(
+    "resume_cursors",
+    """
+    SELECT o_custkey,
+           MIN(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS first_pending,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) + 1 AS restart_at
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def resume_cursors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4 — first-pending and last-done+1 cursors
+    (selenium_scraper.py:196-209, 286-307)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey"))).alias(
+            "first_pending"
+        ),
+        (
+            F.max(F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))) + 1
+        ).alias("restart_at"),
+    )
+
+
+@_q(
+    "batch_range_slice",
+    """
+    SELECT batch_id, COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+    FROM (SELECT o_orderkey, CAST(o_orderkey % 4 AS INT) AS batch_id FROM orders)
+    GROUP BY batch_id
+    """,
+)
+def batch_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — the SLURM array's static range partitioning
+    (world2vecDriver.py:74-93, run.slurm:4) as a batch_id column."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("batch_id", (F.col("o_orderkey") % 4).cast("int"))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship relational aggregate (the TPC-H Q1 shape — partial aggs,
+# whole-stage codegen; perf headline of the relational layer)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl extraction inside the oracle gate: HTML synthesized by SQL,
+# parsed by the real pandas UDF, compared against the generating fields.
+# ---------------------------------------------------------------------------
+
+_HTML_SQL = """
+      '<html><body>'
+      || '<span class="tag"><a>' || lang || '</a></span>'
+      || '<span class="tag"><a>' || source || '</a></span>'
+      || CASE WHEN doc_id % 4 = 0 THEN '' ELSE
+           '<picture class="lg-img-wrap"><source srcset="https://cdn.planetminecraft.com/img/d'
+           || CAST(doc_id AS VARCHAR) || '_l.jpg"></picture>' END
+      || CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN '<a class="branded-download" href="/project/d' || CAST(doc_id AS VARCHAR) || '/download/">dl</a>'
+           WHEN 1 THEN '<a class="branded-download" href="/project/d' || CAST(doc_id AS VARCHAR) || '/mirror/">dl</a>'
+                    || '<a class="third-party-download" title="Get it https://www.mediafire.com/file/d'
+                    || CAST(doc_id AS VARCHAR) || '">ext</a>'
+           ELSE '' END
+      || '</body></html>'
+"""
+
+_PAGE_URL_SQL = (
+    "'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.planetminecraft.com/project/d'"
+    " || CAST(doc_id AS VARCHAR) || '/'"
+)
+
+
+@_q(
+    "crawl_extract_detail",
+    f"""
+    SELECT url, tags, image_url, download_url,
+           download_url || chr(31) || image_url || chr(31) || tags || chr(31) AS extracted_text
+    FROM (
+      SELECT {_PAGE_URL_SQL} AS url,
+             '[''' || lang || ''', ''' || source || ''']' AS tags,
+             CASE WHEN doc_id % 4 = 0 THEN '' ELSE
+               'https://cdn.planetminecraft.com/img/d' || CAST(doc_id AS VARCHAR) || '_l.jpg' END
+               AS image_url,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'https://h' || CAST(doc_id % 4 AS VARCHAR)
+                    || '.planetminecraft.com/project/d' || CAST(doc_id AS VARCHAR) || '/download/'
+               WHEN 1 THEN 'https://www.mediafire.com/file/d' || CAST(doc_id AS VARCHAR)
+               ELSE '' END AS download_url
+      FROM documents)
+    """,
+)
+def crawl_extract_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P1-P4/F6/F7 — the real extraction UDF vs SQL-computed expected
+    fields: byte-identical per url (north-rule invariant in the gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (d % 4).cast("string"),
+        F.lit(".planetminecraft.com/project/d"), ds, F.lit("/"),
+    )
+    img = F.concat(
+        F.lit('<picture class="lg-img-wrap"><source srcset="https://cdn.planetminecraft.com/img/d'),
+        ds, F.lit('_l.jpg"></picture>'),
+    )
+    branded = F.concat(
+        F.lit('<a class="branded-download" href="/project/d'), ds, F.lit('/download/">dl</a>')
+    )
+    mirror = F.concat(
+        F.lit('<a class="branded-download" href="/project/d'), ds, F.lit('/mirror/">dl</a>'),
+        F.lit('<a class="third-party-download" title="Get it https://www.mediafire.com/file/d'),
+        ds, F.lit('">ext</a>'),
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.lit('<span class="tag"><a>'), F.col("lang"), F.lit("</a></span>"),
+        F.lit('<span class="tag"><a>'), F.col("source"), F.lit("</a></span>"),
+        F.when(d % 4 == 0, F.lit("")).otherwise(img),
+        F.when((d % 3) == 0, branded).when((d % 3) == 1, mirror).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    out = pages.withColumn("d", extract_detail_udf("url", "html"))
+    return out.select(
+        "url",
+        F.col("d.tags").alias("tags"),
+        F.col("d.image_url").alias("image_url"),
+        F.col("d.download_url").alias("download_url"),
+        F.concat_ws(
+            FIELD_SEP, "d.download_url", "d.image_url", "d.tags", F.lit("")
+        ).alias("extracted_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis (token counting, quality, lang-id,
+# fingerprinting) over `documents`
+# ---------------------------------------------------------------------------
+
+@_q(
+    "token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — JVM split/size, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 4).alias("avg_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+@_q(
+    "quality_score",
+    """
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + mean token length (JVM higher-
+    order functions — no Python in the hot path)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array([F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return docs.select(
+        "doc_id",
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+@_q(
+    "lang_id_heuristic",
+    """
+    SELECT lang, predicted, COUNT(*) AS n FROM (
+      SELECT lang, CASE WHEN len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','and','value','table','row'))) >= 3
+                   THEN 'en' ELSE 'other' END AS predicted
+      FROM documents)
+    GROUP BY lang, predicted
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic, confusion-matrix output."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    markers = F.array([F.lit(s) for s in ["the", "a", "and", "value", "table", "row"]])
+    n_hits = F.size(F.filter(toks, lambda x: F.array_contains(markers, x)))
+    pred = F.when(n_hits >= 3, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: digest of the leading 8-token window
+    (md5 is bit-identical across Spark and the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k over `embeddings`
+# ---------------------------------------------------------------------------
+
+@_q(
+    "cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+    sims AS (
+      SELECT qid, vec_id,
+             ROUND(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 5) AS cos_sim
+      FROM q, e WHERE vec_id != qid)
+    SELECT qid, vec_id, cos_sim, rank FROM (
+      SELECT qid, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM sims)
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: broadcast the query set,
+    JVM zip_with/aggregate dot products (no UDF), window top-k."""
+    from .operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_bruteforce(emb, queries, k=5, round_dp=5)
+
+
+def register_all() -> tuple[dict, dict]:
+    return dict(QUERIES), dict(ORACLE_SQL)

@@ -1,0 +1,108 @@
+"""Iceberg-style snapshot tables over Parquet (sandbox fallback).
+
+The production design keeps frontier / seen / extracted state in Apache
+Iceberg tables (atomic snapshot commits, ``VERSION AS OF``, rollback,
+partition pruning). The Iceberg runtime jar is not available offline in
+this sandbox, so this module provides the same *contract* over plain
+Parquet + JSON manifests (SURVEY §7.5 anticipated exactly this
+fallback; the crawl loop only talks to this interface, so swapping in
+Iceberg is a one-module change).
+
+Layout per table::
+
+    <root>/<name>/data/v{N}-{token}/*.parquet   immutable data files
+    <root>/<name>/manifests/v{N}.json           {version, path, meta, parent}
+    <root>/<name>/HEAD                          current version (atomic rename)
+
+Commit protocol: write data dir → write manifest → atomically replace
+HEAD. A reader at any moment sees a complete snapshot. ``read(version=k)``
+is Iceberg's ``VERSION AS OF k``; ``rollback(k)`` rewrites HEAD.
+
+Checkpoint/resume semantics mirror the reference's periodic whole-CSV
+rewrite (/root/reference/scraper/selenium_scraper.py:134-135,181-182)
+but atomic and versioned instead of clobber-in-place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.name = name
+        os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.dir, "manifests"), exist_ok=True)
+
+    # -- write --------------------------------------------------------------
+    def commit(self, df: DataFrame, meta: dict[str, Any] | None = None,
+               version: int | None = None) -> int:
+        """Atomic snapshot commit. Explicit ``version`` lets a resumed
+        round re-publish the same target version after a mid-round crash
+        (the orphaned data dir of the half-committed attempt is inert)."""
+        if version is None:
+            parent = self.current_version()
+            version = (parent or 0) + 1
+        else:
+            parent = version - 1 if version > 1 else None
+        token = uuid.uuid4().hex[:8]
+        data_path = os.path.join(self.dir, "data", f"v{version}-{token}")
+        df.write.mode("errorifexists").parquet(data_path)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "path": data_path,
+            "meta": meta or {},
+        }
+        mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        head_tmp = os.path.join(self.dir, "HEAD.tmp")
+        with open(head_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(head_tmp, os.path.join(self.dir, "HEAD"))
+        return version
+
+    # -- read ---------------------------------------------------------------
+    def current_version(self) -> int | None:
+        head = os.path.join(self.dir, "HEAD")
+        if not os.path.exists(head):
+            return None
+        with open(head) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        version = version if version is not None else self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no snapshot in {self.dir}")
+        with open(os.path.join(self.dir, "manifests", f"v{version}.json")) as f:
+            return json.load(f)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """VERSION AS OF ``version`` (default: latest)."""
+        return spark.read.parquet(self.manifest(version)["path"])
+
+    def versions(self) -> list[int]:
+        out = []
+        for fn in os.listdir(os.path.join(self.dir, "manifests")):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
+
+    def rollback(self, version: int) -> None:
+        if version not in self.versions():
+            raise ValueError(f"unknown version {version}")
+        head_tmp = os.path.join(self.dir, "HEAD.tmp")
+        with open(head_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(head_tmp, os.path.join(self.dir, "HEAD"))
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
