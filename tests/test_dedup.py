@@ -1,0 +1,98 @@
+"""Dedup suite: exact first-occurrence, MinHash-LSH vs brute-force
+Jaccard, SimHash banding, exact n-gram Jaccard."""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from text2mc_dataprocessor_spark.operators import dedup as D
+
+
+def _jaccard(a: str, b: str, n: int = 3) -> float:
+    def grams(t):
+        toks = t.split(" ")
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb)
+
+
+@pytest.fixture(scope="module")
+def doc_corpus():
+    """Synthetic docs with planted near-duplicates."""
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = []
+    for i in range(60):
+        base = " ".join(rng.choice(vocab) for _ in range(40))
+        docs.append((i * 10, base))
+        if i % 3 == 0:  # plant a near-dup: mutate 2 tokens
+            toks = base.split(" ")
+            for _ in range(2):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            docs.append((i * 10 + 1, " ".join(toks)))
+        if i % 5 == 0:  # plant an exact dup
+            docs.append((i * 10 + 2, base))
+    return pd.DataFrame(docs, columns=["doc_id", "text"])
+
+
+def test_exact_dedup_first_occurrence(spark, doc_corpus):
+    df = spark.createDataFrame(doc_corpus)
+    out = D.exact_dedup(df).toPandas()
+    dups = out[out.n_occurrences > 1]
+    assert len(dups) == len([1 for i in range(60) if i % 5 == 0])
+    # representative is always the smallest doc_id
+    grouped = doc_corpus.groupby("text")["doc_id"].min()
+    got = dict(zip(out.text, out.first_seq))
+    assert all(got[t] == s for t, s in grouped.items())
+
+
+def test_minhash_estimates_jaccard(spark, doc_corpus):
+    df = spark.createDataFrame(doc_corpus)
+    pairs = D.minhash_lsh_pairs(df, threshold=0.5, n_hashes=128, bands=32).toPandas()
+    texts = dict(zip(doc_corpus.doc_id, doc_corpus.text))
+    assert len(pairs) > 0
+    for r in pairs.itertuples(index=False):
+        true_j = _jaccard(texts[r.id_a], texts[r.id_b])
+        assert abs(r.est_jaccard - true_j) < 0.25, (r.id_a, r.id_b, r.est_jaccard, true_j)
+    # recall: all planted near-dup pairs (true J ≥ 0.8) must be found
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples(index=False)}
+    for i in range(0, 600, 30):
+        if (i in texts) and (i + 1 in texts):
+            if _jaccard(texts[i], texts[i + 1]) >= 0.8:
+                assert (i, i + 1) in found, f"missed planted near-dup {i}"
+
+
+def test_simhash_finds_exact_and_near(spark, doc_corpus):
+    df = spark.createDataFrame(doc_corpus)
+    pairs = D.simhash_pairs(df, max_hamming=10).toPandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples(index=False)}
+    # exact dups have hamming 0 → must all be found
+    for i in range(0, 600, 50):
+        if i in set(doc_corpus.doc_id) and (i + 2) in set(doc_corpus.doc_id):
+            assert (i, i + 2) in found, f"missed exact dup {i}"
+    ham = dict(((r.id_a, r.id_b), r.hamming) for r in pairs.itertuples(index=False))
+    for i in range(0, 600, 50):
+        if (i, i + 2) in ham:
+            assert ham[(i, i + 2)] == 0
+
+
+def test_ngram_jaccard_exact(spark, doc_corpus):
+    df = spark.createDataFrame(doc_corpus)
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.5).toPandas()
+    texts = dict(zip(doc_corpus.doc_id, doc_corpus.text))
+    assert len(pairs) > 0
+    for r in pairs.itertuples(index=False):
+        # relational Jaccard must equal the Python set computation exactly
+        assert r.jaccard == pytest.approx(_jaccard(texts[r.id_a], texts[r.id_b]))
+
+
+def test_minhash_deterministic(spark, doc_corpus):
+    df = spark.createDataFrame(doc_corpus.head(10))
+    a = D.with_minhash(df).select("doc_id", "minhash").toPandas().sort_values("doc_id")
+    b = D.with_minhash(df).select("doc_id", "minhash").toPandas().sort_values("doc_id")
+    assert a.minhash.map(tuple).tolist() == b.minhash.map(tuple).tolist()

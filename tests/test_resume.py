@@ -69,6 +69,37 @@ def test_resume_from_earlier_version_replays_identically(spark, corpus, tmp_path
     assert a2.version == final_version
 
 
+def test_checkpoint_cadence_equivalent(spark, corpus, tmp_path):
+    """checkpoint_every=3 (reference's every-K-pages cadence) produces the
+    same final state as per-round commits, and resume restarts from the
+    last committed snapshot."""
+    pages = pages_to_spark(spark, corpus)
+    seeds = seeds_to_spark(spark, corpus)
+    a = CrawlEngine(
+        spark, str(tmp_path / "a"), pages,
+        config=CrawlConfig(politeness_budget=3, n_buckets=8),
+    )
+    a.init(seeds)
+    a.run()
+
+    b = CrawlEngine(
+        spark, str(tmp_path / "b"), pages,
+        config=CrawlConfig(politeness_budget=3, n_buckets=8, checkpoint_every=3),
+    )
+    b.init(seeds)
+    b.run(rounds=4)  # commits at round 3, round 4 left dirty → final commit
+    b2 = CrawlEngine.resume(
+        spark, str(tmp_path / "b"), pages,
+        config=CrawlConfig(politeness_budget=3, n_buckets=8, checkpoint_every=3),
+    )
+    b2.run()
+    for got, want in zip(_final_state(b2), _final_state(a)):
+        if isinstance(got, pd.DataFrame):
+            pd.testing.assert_frame_equal(got, want)
+        else:
+            assert got == want
+
+
 def test_lineage_metrics_recorded(spark, corpus, tmp_path):
     cfg = CrawlConfig(politeness_budget=3, n_buckets=8)
     eng = CrawlEngine(spark, str(tmp_path / "m"), pages_to_spark(spark, corpus), config=cfg)

@@ -1,0 +1,66 @@
+"""ANN: brute-force cosine is exact; LSH variant has usable recall
+against it and never fabricates neighbors."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from text2mc_dataprocessor_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf.embedding.map(np.asarray)).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk_bruteforce(emb, queries, k=5).toPandas()
+    norms = np.linalg.norm(vecs, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        sims = vecs @ vecs[qi] / (norms * norms[qi])
+        sims[qi] = -np.inf
+        order = np.lexsort((ids, -np.round(sims, 12)))
+        want = [int(ids[i]) for i in order[:5]]
+        g = got[got.qid == qid].sort_values("rank")
+        assert list(g.vec_id) == want, qid
+        np.testing.assert_allclose(
+            g.cos_sim.to_numpy(), np.sort(sims)[::-1][:5], rtol=1e-9
+        )
+
+
+def test_lsh_recall_and_no_fabrication(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).toPandas()
+    approx = cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=24, n_tables=6).toPandas()
+
+    # no fabrication: every reported similarity is the true cosine
+    merged = approx.merge(exact, on=["qid", "vec_id"], suffixes=("_a", "_e"), how="inner")
+    np.testing.assert_allclose(merged.cos_sim_a, merged.cos_sim_e, rtol=1e-9)
+
+    # recall@5 of the true top-5 must be usable
+    hits = tot = 0
+    for qid in exact.qid.unique():
+        want = set(exact[exact.qid == qid].vec_id)
+        got = set(approx[approx.qid == qid].vec_id)
+        hits += len(want & got)
+        tot += len(want)
+    recall = hits / tot
+    assert recall >= 0.5, recall
+
+
+def test_lsh_deterministic(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = cosine_topk_lsh(emb, queries, dim=64, k=5).toPandas().sort_values(["qid", "rank"])
+    b = cosine_topk_lsh(emb, queries, dim=64, k=5).toPandas().sort_values(["qid", "rank"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))

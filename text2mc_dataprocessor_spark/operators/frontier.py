@@ -47,23 +47,59 @@ def priority_order():
     ]
 
 
+def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
+                     n_partitions: int | None = None) -> DataFrame:
+    """Distributed total rank 1..n by ``order_exprs`` (which must end in
+    a unique tie-breaker).
+
+    Two-phase: range-partition on the key (globally ordered partitions),
+    rank within each partition, then add per-partition offsets computed
+    from a tiny count collect. No single-partition window — the sort is
+    P-way parallel, which is what keeps ordering determinism affordable
+    on a 10^10-row frontier (SURVEY §4 'crawl ordering determinism')."""
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(n_partitions, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = part.persist()  # the offsets collect + ranked output share one pass
+    counts = {
+        r._pid: r.n
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        offset_expr = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("_pid"),
+        )
+    else:
+        offset_expr = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    return (
+        part.withColumn(out, (F.row_number().over(w) + offset_expr).cast("long"))
+        .drop("_pid")
+    )
+
+
 def dequeue(queued: DataFrame, politeness_budget: int,
             global_budget: int | None = None) -> DataFrame:
     """Top-k QUEUED rows per host (k = politeness budget), plus a
-    ``dequeue_rank`` giving the deterministic within-round order.
-
-    The global rank is a single-partition window, but it runs on the
-    already-budgeted set (≤ hosts × budget rows — the round's work
-    unit), not the frontier.
-    """
+    ``dequeue_rank`` giving the deterministic within-round order
+    (distributed rank — no single-partition window)."""
     per_host = Window.partitionBy("host").orderBy(*priority_order())
     picked = (
         queued.withColumn("host_rank", F.row_number().over(per_host))
         .filter(F.col("host_rank") <= politeness_budget)
         .drop("host_rank")
     )
-    global_w = Window.orderBy(*priority_order())
-    picked = picked.withColumn("dequeue_rank", F.row_number().over(global_w))
+    picked = with_global_rank(picked, priority_order(), out="dequeue_rank")
     if global_budget is not None:
         picked = picked.filter(F.col("dequeue_rank") <= global_budget)
     return picked

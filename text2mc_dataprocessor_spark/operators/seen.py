@@ -207,7 +207,9 @@ def split_new_urls(candidates: DataFrame, seen_df: DataFrame, bloom_df: DataFram
     ``left_anti`` backstop (zero-false-negative contract tested in
     tests/test_seen.py).
     """
-    probed = PartitionedBloom.probe(candidates, bloom_df)
+    # persist: both branches (fresh / maybe) consume the probe, and the
+    # cogrouped Arrow probe is the expensive part — compute it once
+    probed = PartitionedBloom.probe(candidates, bloom_df).persist()
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(seen_df.select(url_col), url_col, "left_anti")

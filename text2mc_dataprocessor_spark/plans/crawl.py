@@ -7,13 +7,14 @@ Each round is ONE declarative DataFrame job:
       → robots gate (broadcast join)                     [politeness]
       → window top-k per host under politeness budget    [frontier]
       → fetch (replay: broadcast-join the dequeued batch against the
-        pages table; production: HTTP inside mapInArrow — same stage
-        boundary) repartitioned on salted host            [skew]
-      → extraction pandas UDFs (listing outlinks / detail fields /
-        raw download link)                               [extract]
+        pages table; production: HTTP inside mapInPandas — same stage
+        boundary), optionally repartitioned on salted host [skew]
+      → single-pass mapInArrow extraction (listing outlinks / detail
+        fields / raw download link, dispatched by kind; the html bytes
+        cross to Python exactly once)                    [extract]
       → explode outlinks → first-occurrence in-batch dedup
       → Bloom probe → exact left_anti backstop           [seen]
-      → assign discovered_seq (explicit total order)
+      → assign discovered_seq (distributed rank — explicit total order)
       → MERGE new state → snapshot commit per table      [snapshots]
 
 with per-round lineage + per-partition fetch/dedup metrics, and
@@ -28,22 +29,23 @@ latest (or any) consistent version.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.extract import (
     FIELD_SEP,
-    extract_detail_udf,
-    extract_outlinks_udf,
-    extract_raw_link_udf,
+    extract_all_arrow_factory,
+    extract_all_schema,
 )
 from ..functions.urlkeys import host_col, url_hash_col
 from ..operators.frontier import (
     FRONTIER_SCHEMA,
-    kind_score_expr,
     dequeue,
+    kind_score_expr,
+    with_global_rank,
 )
 from ..operators.politeness import robots_gate, salt_fetch_partitions
 from ..operators.seen import PartitionedBloom, split_new_urls
@@ -72,6 +74,18 @@ class CrawlConfig:
     bloom_fpr: float = 0.01
     salt_buckets: int = 16
     fetch_partitions: int | None = None
+    # Snapshot cadence in rounds — the reference checkpoints every
+    # PAGES_PER_CSV_UPDATE=10 pages / 200 rows (selenium_scraper.py:20-22),
+    # not per step. Between commits, state lives in locally-checkpointed
+    # DataFrames; resume restarts from the last committed snapshot.
+    checkpoint_every: int = 1
+    # False drops lineage counters that exist only for metrics (outlink /
+    # dedup breakdowns + per-partition rows) — saves several Spark jobs
+    # per round on the throughput-critical path.
+    detailed_metrics: bool = True
+
+
+_STATE_TABLES = ("frontier", "seen", "bloom", "extracted", "trace", "lineage")
 
 
 class CrawlEngine:
@@ -96,6 +110,14 @@ class CrawlEngine:
         self.bloom = PartitionedBloom(
             self.cfg.n_buckets, self.cfg.bloom_capacity_per_bucket, self.cfg.bloom_fpr
         )
+        self._state: dict[str, DataFrame] | None = None
+        self._max_seq: int = 0
+        self._trace_count: int = 0
+        self._round: int = 0
+        self._dirty: bool = False
+        self._last_meta: dict = {}
+        self.timings: list[tuple[int, str, float]] = []  # (round, stage, sec)
+        self._pending_unpersist: list[DataFrame] = []
 
     # -- lifecycle -----------------------------------------------------------
     def init(self, seeds: DataFrame) -> None:
@@ -114,6 +136,11 @@ class CrawlEngine:
             F.lit(0).alias("round"),
             F.lit(None).cast("string").alias("parent_url"),
         )
+        self.init_frontier(frontier0)
+
+    def init_frontier(self, frontier0: DataFrame) -> None:
+        """Initialize from an explicit frontier table (FRONTIER_SCHEMA) —
+        e.g. a pre-materialized 10^10-row frontier rather than a seed list."""
         seen0 = frontier0.select("url", "url_hash", "bucket")
         bloom0 = self.bloom.build(seen0.select("bucket", "url_hash"))
         empty = self.spark.createDataFrame([], EXTRACTED_SCHEMA)
@@ -123,6 +150,24 @@ class CrawlEngine:
         self.t_seen.commit(seen0, {"round": 0})
         self.t_bloom.commit(bloom0, {"round": 0})
         self.t_frontier.commit(frontier0, {"round": 0})
+        self._load_state()
+
+    def _load_state(self) -> None:
+        """Hydrate in-memory state from the frontier's consistent version."""
+        v = self.version
+        self._state = {
+            "frontier": self.t_frontier.read(self.spark, v),
+            "seen": self.t_seen.read(self.spark, v),
+            "bloom": self.t_bloom.read(self.spark, v),
+            "extracted": self.t_extracted.read(self.spark, v),
+            "trace": self.t_trace.read(self.spark, v),
+            "lineage": self.t_lineage.read(self.spark, v),
+        }
+        ms = self._state["frontier"].agg(F.max("discovered_seq")).first()[0]
+        self._max_seq = int(ms) if ms is not None else -1
+        self._trace_count = self._state["trace"].count()
+        self._round = self.round_number()
+        self._dirty = False
 
     @property
     def version(self) -> int:
@@ -139,49 +184,89 @@ class CrawlEngine:
         for t in (self.t_frontier, self.t_seen, self.t_bloom, self.t_extracted,
                   self.t_trace, self.t_lineage):
             t.rollback(version)
+        self._load_state()
 
-    # -- table accessors (read at the frontier's consistent version) ----------
-    def _read(self, table: SnapshotTable) -> DataFrame:
+    # -- table accessors ---------------------------------------------------------
+    def _get(self, name: str, table: SnapshotTable) -> DataFrame:
+        if self._state is not None:
+            return self._state[name]
         return table.read(self.spark, self.version)
 
     def frontier_df(self) -> DataFrame:
-        return self._read(self.t_frontier)
+        return self._get("frontier", self.t_frontier)
 
     def seen_df(self) -> DataFrame:
-        return self._read(self.t_seen)
+        return self._get("seen", self.t_seen)
 
     def extracted_df(self) -> DataFrame:
-        return self._read(self.t_extracted)
+        return self._get("extracted", self.t_extracted)
 
     def trace_df(self) -> DataFrame:
-        return self._read(self.t_trace)
+        return self._get("trace", self.t_trace)
 
     def lineage_df(self) -> DataFrame:
-        return self._read(self.t_lineage)
+        return self._get("lineage", self.t_lineage)
 
     # -- driving ---------------------------------------------------------------
     def run(self, rounds: int | None = None) -> int:
-        """Run until the frontier drains (or ``rounds``); → rounds executed."""
+        """Run until the frontier drains (or ``rounds``); → rounds executed.
+        Always leaves a committed snapshot at the end."""
+        if self._state is None:
+            self._load_state()
         done = 0
         while rounds is None or done < rounds:
             if not self._one_round():
                 break
             done += 1
+        if self._dirty:
+            self._commit_state()
         return done
+
+    def _commit_state(self) -> None:
+        v = self.version + 1
+        meta = {"round": self._round, **self._last_meta}
+        s = self._state
+        self.t_trace.commit(s["trace"], meta, version=v)
+        self.t_lineage.commit(s["lineage"], meta, version=v)
+        self.t_extracted.commit(s["extracted"], meta, version=v)
+        self.t_seen.commit(s["seen"], meta, version=v)
+        self.t_bloom.commit(s["bloom"], meta, version=v)
+        self.t_frontier.commit(s["frontier"], meta, version=v)
+        # re-point state at the committed files (clean lineage, no
+        # dependence on the pre-commit plan)
+        self._state = {
+            "frontier": self.t_frontier.read(self.spark, v),
+            "seen": self.t_seen.read(self.spark, v),
+            "bloom": self.t_bloom.read(self.spark, v),
+            "extracted": self.t_extracted.read(self.spark, v),
+            "trace": self.t_trace.read(self.spark, v),
+            "lineage": self.t_lineage.read(self.spark, v),
+        }
+        for df in self._pending_unpersist:
+            df.unpersist()
+        self._pending_unpersist.clear()
+        self._dirty = False
 
     def _one_round(self) -> bool:
         spark = self.spark
         cfg = self.cfg
-        base_version = self.version
-        r = self.round_number() + 1
+        r = self._round + 1
+        t0 = time.time()
 
-        frontier = self.t_frontier.read(spark, base_version)
+        def tick(stage: str) -> None:
+            nonlocal t0
+            now = time.time()
+            self.timings.append((r, stage, round(now - t0, 3)))
+            t0 = now
+
+        frontier = self._state["frontier"]
         queued = frontier.filter(F.col("state") == "QUEUED")
         allowed, denied = robots_gate(queued, self.robots)
         dequeued = dequeue(allowed, cfg.politeness_budget, cfg.global_budget).cache()
         n_deq = dequeued.count()
         denied = denied.cache()
-        n_denied = denied.count()
+        n_denied = denied.count() if (cfg.detailed_metrics or n_deq == 0) else -1
+        tick("dequeue")
         if n_deq == 0 and n_denied == 0:
             return False
 
@@ -196,44 +281,65 @@ class CrawlEngine:
                 F.broadcast(dequeued.select(*_FRONTIER_COLS, "dequeue_rank")), "url"
             )
         )
-        fetched = salt_fetch_partitions(fetched, n_parts, cfg.salt_buckets).cache()
+        # Salting exists for the HTTP fetch path (per-host delays run
+        # inside tasks — operators/politeness.py). In replay mode the
+        # scan-join already spreads rows across the pages partitions, so
+        # salt_buckets=0 skips a large shuffle of full page bodies.
+        if cfg.salt_buckets:
+            fetched = salt_fetch_partitions(fetched, n_parts, cfg.salt_buckets)
+        fetched = fetched.cache()
         failed = dequeued.join(fetched.select("url"), "url", "left_anti").cache()
 
-        # ---- extract (Arrow-batched pandas UDFs)
-        listings = fetched.filter(F.col("kind") == "listing").withColumn(
-            "outlinks", extract_outlinks_udf("url", "html")
-        )
-        details = fetched.filter(F.col("kind") == "detail").withColumn(
-            "d", extract_detail_udf("url", "html")
+        # ---- extract: ONE mapInArrow pass parses every fetched page and
+        # emits all fields, dispatched by frontier kind (listing →
+        # outlinks, detail → tags/image/download_url, download → raw
+        # link). The html bytes cross to Python exactly once and never
+        # come back.
+        passthrough = ["depth", "score", "discovered_seq", "parent_url"]
+        ext = fetched.select("url", "kind", "html", *passthrough).mapInArrow(
+            extract_all_arrow_factory(passthrough),
+            extract_all_schema(
+                "depth int, score double, discovered_seq long, parent_url string"
+            ),
         ).cache()
-        downloads = fetched.filter(F.col("kind") == "download").withColumn(
-            "raw_link", extract_raw_link_udf("url", "html")
-        )
+        # materialize NOW — downstream branches (range sampling, probe,
+        # counts) would otherwise race to fill the cache concurrently
+        ext.count()
 
-        # ---- outlink candidates: (url, parent_rank, dom_pos, kind, depth)
-        listing_out = listings.select(
-            F.col("dequeue_rank").alias("parent_rank"),
+        # ---- outlink candidates. Parent dequeue order is fully derivable
+        # from parent attributes — (score DESC, depth ASC, seq ASC) is the
+        # dequeue priority itself — so ordering keys travel on the rows
+        # and no global rank is needed here.
+        parent_key = [
+            (-F.col("score")).alias("parent_nscore"),
             F.col("depth").alias("parent_depth"),
+            F.col("discovered_seq").alias("parent_seq"),
+        ]
+        listing_out = ext.filter(F.col("kind") == "listing").select(
+            *parent_key,
             F.col("url").alias("src_url"),
             F.explode("outlinks").alias("o"),
         ).select(
             F.col("o.href").alias("url"),
-            "parent_rank",
+            "parent_nscore",
+            "parent_depth",
+            "parent_seq",
             F.col("o.dom_pos").alias("dom_pos"),
             F.col("o.kind").alias("kind"),
-            "parent_depth",
             "src_url",
         )
-        download_out = details.filter(F.col("d.download_url") != "").select(
-            F.col("d.download_url").alias("url"),
-            F.col("dequeue_rank").alias("parent_rank"),
+        download_out = ext.filter(
+            (F.col("kind") == "detail") & (F.col("download_url") != "")
+        ).select(
+            F.col("download_url").alias("url"),
+            *parent_key,
             F.lit(0).alias("dom_pos"),
             F.lit("download").alias("kind"),
-            F.col("depth").alias("parent_depth"),
             F.col("url").alias("src_url"),
         )
         candidates = listing_out.unionByName(download_out).cache()
-        n_candidates = candidates.count()
+        n_candidates = candidates.count() if cfg.detailed_metrics else -1
+        tick("fetch_extract_outlinks")
 
         # first-occurrence dedup within the batch (deterministic: min struct
         # over the (parent dequeue order, DOM position) total order)
@@ -241,7 +347,10 @@ class CrawlEngine:
             candidates.groupBy("url")
             .agg(
                 F.min(
-                    F.struct("parent_rank", "dom_pos", "kind", "parent_depth", "src_url")
+                    F.struct(
+                        "parent_nscore", "parent_depth", "parent_seq", "dom_pos",
+                        "kind", "src_url",
+                    )
                 ).alias("m")
             )
             .select("url", "m.*")
@@ -254,13 +363,22 @@ class CrawlEngine:
         )
 
         # ---- seen-set dedup: Bloom pre-filter + exact anti-join backstop
-        seen = self.t_seen.read(spark, base_version)
-        bloom_df = self.t_bloom.read(spark, base_version)
-        new = split_new_urls(cand, seen, bloom_df)
+        seen = self._state["seen"]
+        bloom_df = self._state["bloom"]
+        new = split_new_urls(cand, seen, bloom_df).persist()
 
-        max_seq = frontier.agg(F.max("discovered_seq")).first()[0]
-        seq_w = Window.orderBy("parent_rank", "dom_pos")
-        new_front = new.select(
+        max_seq = self._max_seq
+        ranked_new = with_global_rank(
+            new,
+            [
+                F.col("parent_nscore").asc(),
+                F.col("parent_depth").asc(),
+                F.col("parent_seq").asc(),
+                F.col("dom_pos").asc(),
+            ],
+            out="_disc_rank",
+        )
+        new_front = ranked_new.select(
             "url",
             "host",
             "url_hash",
@@ -269,12 +387,13 @@ class CrawlEngine:
             (F.col("parent_depth") + 1).alias("depth"),
             kind_score_expr().alias("score"),
             F.lit("QUEUED").alias("state"),
-            (F.lit(max_seq) + F.row_number().over(seq_w)).alias("discovered_seq"),
+            (F.lit(max_seq).cast("long") + F.col("_disc_rank")).alias("discovered_seq"),
             F.lit(r).alias("round"),
             F.col("src_url").alias("parent_url"),
         ).cache()
         n_new = new_front.count()
-        n_unique_cand = cand.count()
+        n_unique_cand = cand.count() if cfg.detailed_metrics else -1
+        tick("dedup_seq")
 
         # ---- frontier MERGE: untouched ∪ state-updates ∪ new QUEUED rows
         touched = dequeued.select("url").unionByName(denied.select("url"))
@@ -298,15 +417,15 @@ class CrawlEngine:
         bloom2 = self.bloom.merge(bloom_df, new_front.select("bucket", "url_hash"))
 
         # ---- extracted: new detail rows + raw-link fills from download pages
-        extracted = self.t_extracted.read(spark, base_version)
-        new_ext = details.select(
+        extracted = self._state["extracted"]
+        new_ext = ext.filter(F.col("kind") == "detail").select(
             "url",
-            F.col("d.download_url").alias("download_url"),
-            F.col("d.image_url").alias("image_url"),
-            F.col("d.tags").alias("tags"),
+            "download_url",
+            "image_url",
+            "tags",
             F.lit("").alias("raw_download_link"),
         )
-        raw_upd = downloads.select(
+        raw_upd = ext.filter(F.col("kind") == "download").select(
             F.col("parent_url").alias("url"), F.col("raw_link").alias("_new_raw")
         )
         ext_all = (
@@ -334,8 +453,8 @@ class CrawlEngine:
 
         # ---- trace append (dequeue order is the explicit rank, never
         # physical row order)
-        trace = self.t_trace.read(spark, base_version)
-        prev_total = trace.count()
+        trace = self._state["trace"]
+        prev_total = self._trace_count
         trace2 = trace.unionByName(
             dequeued.select(
                 (F.lit(prev_total) + F.col("dequeue_rank") - 1).alias("dequeue_seq"),
@@ -347,45 +466,78 @@ class CrawlEngine:
         )
 
         # ---- lineage / metrics (per-partition fetch + dedup counters)
-        n_fetched = fetched.count()
-        part_rows = (
-            fetched.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .select(
-                F.lit(r).alias("round"),
-                F.lit("fetch_partition_rows").alias("metric"),
-                F.col("pid").cast("string").alias("key"),
-                F.col("count").alias("value"),
+        if cfg.detailed_metrics:
+            n_fetched = fetched.count()
+            part_rows = (
+                fetched.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .select(
+                    F.lit(r).alias("round"),
+                    F.lit("fetch_partition_rows").alias("metric"),
+                    F.col("pid").cast("string").alias("key"),
+                    F.col("count").alias("value"),
+                )
             )
-        )
-        scalars = [
-            ("dequeued", n_deq),
-            ("fetched", n_fetched),
-            ("failed", n_deq - n_fetched),
-            ("robots_denied", n_denied),
-            ("outlinks", n_candidates),
-            ("dup_dropped_in_batch", n_candidates - n_unique_cand),
-            ("dup_dropped_seen", n_unique_cand - n_new),
-            ("new_urls", n_new),
-        ]
-        lineage = self.t_lineage.read(spark, base_version)
+            scalars = [
+                ("dequeued", n_deq),
+                ("fetched", n_fetched),
+                ("failed", n_deq - n_fetched),
+                ("robots_denied", n_denied),
+                ("outlinks", n_candidates),
+                ("dup_dropped_in_batch", n_candidates - n_unique_cand),
+                ("dup_dropped_seen", n_unique_cand - n_new),
+                ("new_urls", n_new),
+            ]
+        else:
+            scalars = [("dequeued", n_deq), ("new_urls", n_new)]
+        lineage = self._state["lineage"]
         lineage2 = lineage.unionByName(
             self.spark.createDataFrame(
                 [(r, m, "total", int(v)) for m, v in scalars], LINEAGE_SCHEMA
             )
-        ).unionByName(part_rows)
+        )
+        if cfg.detailed_metrics:
+            lineage2 = lineage2.unionByName(part_rows)
+        tick("metrics")
 
-        # ---- atomic commits; the frontier commit (last) publishes the round.
-        v = base_version + 1
-        meta = {"round": r, **{m: int(x) for m, x in scalars}}
-        self.t_trace.commit(trace2, meta, version=v)
-        self.t_lineage.commit(lineage2, meta, version=v)
-        self.t_extracted.commit(ext_all, meta, version=v)
-        self.t_seen.commit(seen2, meta, version=v)
-        self.t_bloom.commit(bloom2, meta, version=v)
-        self.t_frontier.commit(frontier2, meta, version=v)
+        # ---- publish the round: in-memory state always; snapshot commit
+        # at the configured cadence (frontier commit last = the round's
+        # consistency point). coalesce: each round's unions would otherwise
+        # stack partitions (k rounds → k·P tasks per downstream stage).
+        self._state = {
+            "frontier": frontier2.coalesce(n_parts),
+            "seen": seen2.coalesce(n_parts),
+            "bloom": bloom2,
+            "extracted": ext_all.coalesce(n_parts),
+            "trace": trace2.coalesce(n_parts),
+            "lineage": lineage2.coalesce(8),
+        }
+        self._round = r
+        self._max_seq = max_seq + n_new
+        self._trace_count = prev_total + n_deq
+        self._last_meta = {m: int(x) for m, x in scalars}
+        self._dirty = True
+        if r % cfg.checkpoint_every == 0:
+            self._commit_state()
+            tick("snapshot_commit")
+        else:
+            # truncate lineage of the tables every round consumes
+            # (frontier/seen/bloom feed the next dequeue + dedup;
+            # extracted feeds the next raw-link merge). trace/lineage are
+            # only read at commit time — leave them as lazy union chains.
+            for k in ("frontier", "seen", "bloom", "extracted"):
+                self._state[k] = self._state[k].localCheckpoint(eager=True)
+            tick("local_checkpoint")
 
-        for df in (dequeued, fetched, details, candidates, new_front, denied, failed):
+        # dequeued feeds the lazy trace chain (and fetched the lazy
+        # lineage chain) until the next snapshot commit — defer those
+        self._pending_unpersist.append(dequeued)
+        if cfg.detailed_metrics:
+            self._pending_unpersist.append(fetched)
+            release = (ext, candidates, new_front, denied, failed)
+        else:
+            release = (fetched, ext, candidates, new_front, denied, failed)
+        for df in release:
             df.unpersist()
         return True
 

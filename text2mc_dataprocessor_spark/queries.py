@@ -712,5 +712,105 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, k=5, round_dp=5)
 
 
+# ---------------------------------------------------------------------------
+# Voxel-stage operators (world2vec re-expression; SURVEY §2 S10/P11/J3/
+# A9/X6) over a deterministic synthetic block grid shared with the oracle.
+# ---------------------------------------------------------------------------
+
+_BLOCKS_SQL = """
+  SELECT CAST(range % 16 AS INT) AS x,
+         CAST((range // 16) % 16 AS INT) AS y,
+         CAST(range // 256 AS INT) AS z,
+         list_extract(['minecraft:stone','minecraft:dirt','minecraft:air',
+                       'minecraft:oak_planks','minecraft:glass',
+                       'minecraft:stone_bricks','minecraft:water'],
+                      CAST(range % 7 AS INT) + 1) AS block
+  FROM range(4096)
+"""
+
+
+@_q(
+    "voxel_block_freq",
+    f"""
+    WITH blocks AS ({_BLOCKS_SQL})
+    SELECT block, COUNT(*) AS n FROM blocks GROUP BY block
+    """,
+)
+def voxel_block_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — block frequency over a build (block2vec_dataset.py:85-93)."""
+    from .operators.voxel import block_frequencies, synthetic_build
+
+    return block_frequencies(synthetic_build(spark, side=16))
+
+
+@_q(
+    "voxel_token_lookup",
+    f"""
+    WITH blocks AS ({_BLOCKS_SQL})
+    SELECT tok, COUNT(*) AS n FROM (
+      SELECT CASE block WHEN 'minecraft:stone' THEN 1 WHEN 'minecraft:dirt' THEN 2
+                        WHEN 'minecraft:air' THEN 0 ELSE -1 END AS tok
+      FROM blocks)
+    GROUP BY tok
+    """,
+)
+def voxel_token_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — block2tok broadcast lookup, OOV → −1 (world2vecDriver.py:225-241)."""
+    from .operators.voxel import synthetic_build, token_lookup
+
+    df = token_lookup(
+        synthetic_build(spark, side=16),
+        {"minecraft:stone": 1, "minecraft:dirt": 2, "minecraft:air": 0},
+    )
+    return df.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "voxel_neighborhood",
+    """
+    WITH blocks AS (
+      SELECT CAST(range % 8 AS INT) AS x,
+             CAST((range // 8) % 8 AS INT) AS y,
+             CAST(range // 64 AS INT) AS z,
+             list_extract(['minecraft:stone','minecraft:dirt','minecraft:air',
+                           'minecraft:oak_planks','minecraft:glass',
+                           'minecraft:stone_bricks','minecraft:water'],
+                          CAST(range % 7 AS INT) + 1) AS block
+      FROM range(512))
+    SELECT a.block AS target, b.block AS context, COUNT(*) AS n
+    FROM blocks a JOIN blocks b
+      ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND abs(a.z - b.z) <= 1
+     AND NOT (a.x = b.x AND a.y = b.y AND a.z = b.z)
+    GROUP BY a.block, b.block
+    """,
+)
+def voxel_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — radius-1 26-neighbor skip-gram context counts
+    (block2vec_dataset.py:54-68), as an offset-explode equi-join."""
+    from .operators.voxel import neighborhood_pairs, synthetic_build
+
+    pairs = neighborhood_pairs(synthetic_build(spark, side=8))
+    return pairs.groupBy("target", "context").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "voxel_region_codec",
+    """
+    SELECT x, z, printf('r.%d.%d.mca', x, z) AS fn
+    FROM (SELECT CAST(range - 4 AS INT) AS x, CAST(range * 3 - 10 AS INT) AS z
+          FROM range(9))
+    """,
+)
+def voxel_region_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — region filename codec (world2vec.py:241-250)."""
+    from .operators.voxel import region_filename
+
+    d = F.col("id")
+    df = spark.range(9).select(
+        (d - 4).cast("int").alias("x"), (d * 3 - 10).cast("int").alias("z")
+    )
+    return df.withColumn("fn", region_filename("x", "z"))
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)

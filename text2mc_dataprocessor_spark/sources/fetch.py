@@ -1,0 +1,108 @@
+"""Fetch stage implementations.
+
+The crawl loop's fetch stage is an interface boundary (plans/crawl.py
+uses ``TableFetcher`` semantics inline — a broadcast join against the
+pages table). This module names both implementations so the swap point
+is explicit:
+
+- ``TableFetcher``  — replay mode (sandbox / WARC re-processing): html
+  comes from an existing pages table. The dequeued batch is broadcast;
+  the pages side is scanned, never shuffled.
+
+- ``HttpFetcher``   — production mode: real HTTP GETs inside
+  ``mapInPandas`` over the salted-host-partitioned dequeue batch. Each
+  task serves a small set of hosts (politeness was enforced per-host
+  upstream), applies the host's crawl delay *within* the task
+  (sequential per host, parallel across tasks), streams bodies in
+  chunks (the reference downloads in 1 KiB chunks,
+  selenium_scraper.py:598), and isolates per-row errors
+  (:176-178) — a failed GET yields html=NULL → state=FAILED.
+
+No live network exists in this sandbox, so ``HttpFetcher`` is built and
+unit-importable but NOT exercised by tests; its Spark-side contract
+(schema in/out, partitioning, batching) is identical to TableFetcher's
+output and is what tests cover.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FETCH_OUTPUT_SCHEMA = "url string, html binary, fetch_ms long, error string"
+
+
+class TableFetcher:
+    """Replay fetch: look up html in a pages table (broadcast join)."""
+
+    def __init__(self, pages: DataFrame):
+        self.pages = pages.select("url", "html")
+
+    def fetch(self, dequeued: DataFrame) -> DataFrame:
+        """→ dequeued columns + html (inner join; misses are FAILED
+        upstream via anti-join, as in plans/crawl.py)."""
+        return self.pages.join(F.broadcast(dequeued), "url")
+
+
+class HttpFetcher:
+    """Production fetch: HTTP GET per dequeued URL inside mapInPandas.
+
+    Expects the input already repartitioned by (host, salt) — see
+    operators/politeness.salt_fetch_partitions — so per-host delays
+    serialize within a task without stalling the stage.
+    """
+
+    def __init__(self, timeout_s: float = 30.0, chunk_size: int = 1024,
+                 crawl_delay_ms: int = 0, max_bytes: int = 50_000_000):
+        # 1 KiB chunks and the 50 MB cap mirror the reference
+        # (selenium_scraper.py:598, preprocess.py:52)
+        self.timeout_s = timeout_s
+        self.chunk_size = chunk_size
+        self.crawl_delay_ms = crawl_delay_ms
+        self.max_bytes = max_bytes
+
+    def fetch(self, dequeued: DataFrame) -> DataFrame:
+        timeout_s = self.timeout_s
+        chunk_size = self.chunk_size
+        delay_ms = self.crawl_delay_ms
+        max_bytes = self.max_bytes
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            try:
+                import requests  # gated: not needed in replay mode
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "HttpFetcher requires the 'requests' package at executor "
+                    "runtime; use TableFetcher for replay workloads"
+                ) from e
+
+            session = requests.Session()
+            last_host_hit: dict[str, float] = {}
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    host = r.url.split("/", 3)[2] if "://" in r.url else r.url
+                    if delay_ms:
+                        since = time.time() - last_host_hit.get(host, 0.0)
+                        wait = delay_ms / 1000.0 - since
+                        if wait > 0:
+                            time.sleep(wait)
+                    t0 = time.time()
+                    try:
+                        resp = session.get(r.url, stream=True, timeout=timeout_s)
+                        buf = bytearray()
+                        for chunk in resp.iter_content(chunk_size=chunk_size):
+                            buf.extend(chunk)
+                            if len(buf) > max_bytes:
+                                raise ValueError("max_bytes exceeded")
+                        rows.append((r.url, bytes(buf), int((time.time() - t0) * 1000), None))
+                    except Exception as e:  # X4 per-row isolation
+                        rows.append((r.url, None, int((time.time() - t0) * 1000), str(e)[:200]))
+                    last_host_hit[host] = time.time()
+                yield pd.DataFrame(rows, columns=["url", "html", "fetch_ms", "error"])
+
+        return dequeued.select("url").mapInPandas(run, FETCH_OUTPUT_SCHEMA)
