@@ -277,9 +277,7 @@ class CrawlEngine:
             spark.conf.get("spark.sql.shuffle.partitions")
         )
         fetched = (
-            self.pages.join(
-                F.broadcast(dequeued.select(*_FRONTIER_COLS, "dequeue_rank")), "url"
-            )
+            self.pages.join(F.broadcast(dequeued.select(*_FRONTIER_COLS)), "url")
         )
         # Salting exists for the HTTP fetch path (per-host delays run
         # inside tasks — operators/politeness.py). In replay mode the
@@ -287,24 +285,27 @@ class CrawlEngine:
         # salt_buckets=0 skips a large shuffle of full page bodies.
         if cfg.salt_buckets:
             fetched = salt_fetch_partitions(fetched, n_parts, cfg.salt_buckets)
-        fetched = fetched.cache()
-        failed = dequeued.join(fetched.select("url"), "url", "left_anti").cache()
 
         # ---- extract: ONE mapInArrow pass parses every fetched page and
         # emits all fields, dispatched by frontier kind (listing →
         # outlinks, detail → tags/image/download_url, download → raw
-        # link). The html bytes cross to Python exactly once and never
-        # come back.
-        passthrough = ["depth", "score", "discovered_seq", "parent_url"]
+        # link). The html bytes stream from the pages scan straight into
+        # the Python workers — they cross exactly once, never come back,
+        # and are never re-cached. All frontier columns pass through so
+        # the narrow ``ext`` output is the only per-round cache.
+        passthrough = [c for c in _FRONTIER_COLS if c not in ("url", "kind")]
+        passthrough_schema = (
+            "host string, url_hash long, bucket int, depth int, score double, "
+            "state string, discovered_seq long, round int, parent_url string"
+        )
         ext = fetched.select("url", "kind", "html", *passthrough).mapInArrow(
             extract_all_arrow_factory(passthrough),
-            extract_all_schema(
-                "depth int, score double, discovered_seq long, parent_url string"
-            ),
+            extract_all_schema(passthrough_schema),
         ).cache()
         # materialize NOW — downstream branches (range sampling, probe,
         # counts) would otherwise race to fill the cache concurrently
         ext.count()
+        failed = dequeued.join(ext.select("url"), "url", "left_anti").cache()
 
         # ---- outlink candidates. Parent dequeue order is fully derivable
         # from parent attributes — (score DESC, depth ASC, seq ASC) is the
@@ -406,7 +407,7 @@ class CrawlEngine:
 
         frontier2 = (
             rest.select(*_FRONTIER_COLS)
-            .unionByName(as_state(fetched, "FETCHED"))
+            .unionByName(as_state(ext, "FETCHED"))
             .unionByName(as_state(failed, "FAILED"))
             .unionByName(as_state(denied, "ROBOTS_DENIED"))
             .unionByName(new_front)
@@ -467,9 +468,9 @@ class CrawlEngine:
 
         # ---- lineage / metrics (per-partition fetch + dedup counters)
         if cfg.detailed_metrics:
-            n_fetched = fetched.count()
+            n_fetched = ext.count()
             part_rows = (
-                fetched.groupBy(F.spark_partition_id().alias("pid"))
+                ext.groupBy(F.spark_partition_id().alias("pid"))
                 .count()
                 .select(
                     F.lit(r).alias("round"),
@@ -529,14 +530,14 @@ class CrawlEngine:
                 self._state[k] = self._state[k].localCheckpoint(eager=True)
             tick("local_checkpoint")
 
-        # dequeued feeds the lazy trace chain (and fetched the lazy
-        # lineage chain) until the next snapshot commit — defer those
+        # dequeued feeds the lazy trace chain (and ext the lazy lineage
+        # chain) until the next snapshot commit — defer those
         self._pending_unpersist.append(dequeued)
         if cfg.detailed_metrics:
-            self._pending_unpersist.append(fetched)
-            release = (ext, candidates, new_front, denied, failed)
+            self._pending_unpersist.append(ext)
+            release = (candidates, new_front, denied, failed)
         else:
-            release = (fetched, ext, candidates, new_front, denied, failed)
+            release = (ext, candidates, new_front, denied, failed)
         for df in release:
             df.unpersist()
         return True
