@@ -70,6 +70,14 @@ _FILLER = ("lorem ipsum crawl frontier benchmark filler text " * 20).strip() * 2
 _TAGS = ["Fantasy", "Medieval", "Modern", "Castle", "House"]
 
 
+
+N_PAGE_PARTS = 64  # keep cache-unroll chunks small (executor heaps are ~5 GB
+                   # in local-cluster mode; a 55 KB-row partition must fit)
+
+
+def _range(spark, n):
+    return spark.range(0, n, 1, N_PAGE_PARTS)
+
 def _detail_pages(spark, n):
     d = F.col("id")
     ds = d.cast("string")
@@ -95,7 +103,7 @@ def _detail_pages(spark, n):
         F.when(d % 3 == 0, branded).when(d % 3 == 1, mirror_tp).otherwise(F.lit("")),
         F.lit("<p>"), F.lit(_FILLER), F.lit("</p></body></html>"),
     )
-    return spark.range(n).select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return _range(spark, n).select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
 
 
 def _download_pages(spark, n):
@@ -108,7 +116,7 @@ def _download_pages(spark, n):
               '"https://s3.amazonaws.com/static.planetminecraft.com/files/b'),
         ds, F.lit('.zip?sig=1", };</script></body></html>'),
     )
-    return spark.range(n).filter(d % 3 == 0).select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return _range(spark, n).filter(d % 3 == 0).select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
 
 
 def _mediafire_pages(spark, n):
@@ -119,14 +127,14 @@ def _mediafire_pages(spark, n):
         F.lit('<html><body><a id="downloadButton" href="https://download1472.mediafire.com/dl/b'),
         ds, F.lit('.zip">Download</a></body></html>'),
     )
-    return spark.range(n).filter(d % 3 == 1).select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return _range(spark, n).filter(d % 3 == 1).select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
 
 
 def _frontier(spark, n, n_buckets):
     d = F.col("id")
     host_id = F.when(d % 2 == 0, F.lit(0)).otherwise(F.pmod(d, F.lit(N_HOSTS))).cast("string")
     url = F.concat(F.lit("https://h"), host_id, F.lit(".planetminecraft.com/project/b"), d.cast("string"), F.lit("/"))
-    return spark.range(n).select(
+    return _range(spark, n).select(
         url.alias("url"),
         F.concat(F.lit("h"), host_id, F.lit(".planetminecraft.com")).alias("host"),
         F.xxhash64(url).alias("url_hash"),
