@@ -48,7 +48,9 @@ def priority_order():
 
 
 def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
-                     n_partitions: int | None = None) -> DataFrame:
+                     n_partitions: int | None = None,
+                     info: dict | None = None,
+                     persist_input: bool = False) -> DataFrame:
     """Distributed total rank 1..n by ``order_exprs`` (which must end in
     a unique tie-breaker).
 
@@ -56,10 +58,23 @@ def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
     rank within each partition, then add per-partition offsets computed
     from a tiny count collect. No single-partition window — the sort is
     P-way parallel, which is what keeps ordering determinism affordable
-    on a 10^10-row frontier (SURVEY §4 'crawl ordering determinism')."""
+    on a 10^10-row frontier (SURVEY §4 'crawl ordering determinism').
+
+    ``info`` (optional dict) is filled with ``{"n": <total row count>,
+    "persisted": [<cached intermediate>]}`` — the count is a free
+    byproduct of the offsets collect, so callers never need a separate
+    ``.count()`` job, and the caller owns unpersisting the intermediate
+    (it backs every consumer of the ranked output)."""
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if persist_input:
+        # repartitionByRange's partitioner SAMPLES its input in a
+        # separate pass — without a persist the upstream plan (e.g. the
+        # per-host budget window over the whole frontier) runs twice
+        df = df.persist()
+        if info is not None:
+            info.setdefault("persisted", []).append(df)
     part = df.repartitionByRange(n_partitions, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -72,6 +87,9 @@ def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if info is not None:
+        info["n"] = acc
+        info.setdefault("persisted", []).append(part)
     if offsets:
         offset_expr = F.element_at(
             F.create_map(
@@ -89,17 +107,27 @@ def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
 
 
 def dequeue(queued: DataFrame, politeness_budget: int,
-            global_budget: int | None = None) -> DataFrame:
+            global_budget: int | None = None,
+            info: dict | None = None) -> DataFrame:
     """Top-k QUEUED rows per host (k = politeness budget), plus a
     ``dequeue_rank`` giving the deterministic within-round order
-    (distributed rank — no single-partition window)."""
+    (distributed rank — no single-partition window).
+
+    ``info`` (optional) receives the exact dequeued count and the cached
+    intermediate, piggybacked on the rank's offsets collect (see
+    ``with_global_rank``) — the crawl loop's termination check costs no
+    extra Spark job."""
     per_host = Window.partitionBy("host").orderBy(*priority_order())
     picked = (
         queued.withColumn("host_rank", F.row_number().over(per_host))
         .filter(F.col("host_rank") <= politeness_budget)
         .drop("host_rank")
     )
-    picked = with_global_rank(picked, priority_order(), out="dequeue_rank")
+    picked = with_global_rank(picked, priority_order(), out="dequeue_rank",
+                              info=info, persist_input=info is not None)
     if global_budget is not None:
         picked = picked.filter(F.col("dequeue_rank") <= global_budget)
+        if info is not None:
+            # dequeue_rank is dense 1..n, so the budget cap is exact
+            info["n"] = min(info["n"], global_budget)
     return picked

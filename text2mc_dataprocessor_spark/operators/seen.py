@@ -198,18 +198,79 @@ class PartitionedBloom:
         )
 
 
+def dedup_and_split_new(candidates: DataFrame, seen_df: DataFrame,
+                        bloom_df: DataFrame, dedup_order: list[str],
+                        info: dict | None = None) -> DataFrame:
+    """First-occurrence dedup per url + Bloom probe fused into ONE
+    bucket shuffle, then the exact ``left_anti`` backstop.
+
+    ``bucket = pmod(xxhash64(url), P)`` is a function of ``url``, so
+    every duplicate of a url lands in the same bucket task — the
+    in-batch first-occurrence dedup (reference semantics: keep the row
+    of the earliest (parent priority, DOM position) — selenium_scraper
+    .py:165-175) can therefore run inside the same cogrouped-Arrow task
+    that probes the bucket's Bloom bitmap, saving the separate
+    ``groupBy(url)`` shuffle of the full candidate set. ``dedup_order``
+    must be a total order (unique tie-breaker) over the candidate rows.
+
+    candidates must carry (bucket, url_hash) + ``dedup_order`` columns.
+    Output: one row per distinct url, NOT in the seen set.
+    """
+    out_schema = candidates.schema
+    cols = [f.name for f in out_schema.fields]
+
+    def probe_bucket(_key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=cols + ["maybe_seen"])
+        # first-occurrence dedup: stable ascending sort on the total
+        # order, keep the first row per url
+        cand_pdf = cand_pdf.sort_values(dedup_order, kind="stable")
+        cand_pdf = cand_pdf.drop_duplicates("url", keep="first")
+        if bloom_pdf.empty:
+            flags = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            row = bloom_pdf.iloc[0]
+            bits = np.frombuffer(row["bits"], dtype=np.uint8)
+            keys = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+            flags = _test_bits(bits, keys, int(row["n_bits"]), int(row["n_hashes"]))
+        out = cand_pdf.copy()
+        out["maybe_seen"] = flags
+        return out
+
+    probe_schema = T.StructType(out_schema.fields + [
+        T.StructField("maybe_seen", T.BooleanType(), False)
+    ])
+    probed = (
+        candidates.groupBy("bucket")
+        .cogroup(bloom_df.groupBy("bucket"))
+        .applyInPandas(probe_bucket, probe_schema)
+    ).persist()
+    if info is not None:
+        info.setdefault("persisted", []).append(probed)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    checked = maybe.join(seen_df.select("url"), "url", "left_anti")
+    return fresh.unionByName(checked)
+
+
 def split_new_urls(candidates: DataFrame, seen_df: DataFrame, bloom_df: DataFrame,
-                   url_col: str = "url") -> DataFrame:
+                   url_col: str = "url", info: dict | None = None) -> DataFrame:
     """Rows of ``candidates`` whose ``url`` is NOT in the seen set.
 
     candidates must carry (bucket, url_hash). Bloom pre-filter first —
     'definitely new' skips the join; 'maybe seen' goes through the exact
     ``left_anti`` backstop (zero-false-negative contract tested in
     tests/test_seen.py).
+
+    ``info`` (optional dict): the cached probe intermediate is appended
+    to ``info["persisted"]`` so the caller can unpersist it once the
+    round's state is materialized (long crawls must not leak storage).
     """
     # persist: both branches (fresh / maybe) consume the probe, and the
     # cogrouped Arrow probe is the expensive part — compute it once
     probed = PartitionedBloom.probe(candidates, bloom_df).persist()
+    if info is not None:
+        info.setdefault("persisted", []).append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(seen_df.select(url_col), url_col, "left_anti")

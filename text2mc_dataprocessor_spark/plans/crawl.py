@@ -30,7 +30,9 @@ latest (or any) consistent version.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,7 +50,7 @@ from ..operators.frontier import (
     with_global_rank,
 )
 from ..operators.politeness import robots_gate, salt_fetch_partitions
-from ..operators.seen import PartitionedBloom, split_new_urls
+from ..operators.seen import PartitionedBloom, dedup_and_split_new
 from ..sources.snapshots import SnapshotTable
 
 SEEN_SCHEMA = "url string, url_hash long, bucket int"
@@ -83,6 +85,11 @@ class CrawlConfig:
     # dedup breakdowns + per-partition rows) — saves several Spark jobs
     # per round on the throughput-critical path.
     detailed_metrics: bool = True
+    # Replay fetch joins the dequeued batch against the pages table.
+    # Small batches broadcast (the 100 TB pages side is scanned, never
+    # shuffled); batches above this row count fall back to a shuffled
+    # join so the driver never materializes an oversized broadcast.
+    broadcast_fetch_max_rows: int = 400_000
 
 
 _STATE_TABLES = ("frontier", "seen", "bloom", "extracted", "trace", "lineage")
@@ -96,10 +103,30 @@ class CrawlEngine:
         pages: DataFrame,
         robots: DataFrame | None = None,
         config: CrawlConfig | None = None,
+        fetch_fn: Callable[[DataFrame], DataFrame] | None = None,
     ):
+        """``pages``: replay corpus (url, html[, warc_ts]). With a
+        ``warc_ts`` column (Common-Crawl-style multi-capture input,
+        where re-crawls of the same url are normal) the engine keeps
+        the LATEST capture per url — deduped AFTER the dequeue join, so
+        only the fetched slice shuffles, never the 100 TB corpus.
+        Without ``warc_ts`` the table must be unique per url (the
+        reference's projects.csv invariant).
+
+        ``fetch_fn``: optional fetch-stage override — maps the dequeued
+        batch (FRONTIER_SCHEMA columns) to the same columns + ``html``
+        binary. Production swaps in ``sources.fetch.HttpFetcher``
+        semantics here; the default is replay via the pages table.
+        """
         self.spark = spark
         self.cfg = config or CrawlConfig()
-        self.pages = pages.select("url", "html")
+        self._pages_has_ts = pages is not None and "warc_ts" in pages.columns
+        if pages is not None:
+            cols = ["url", "html"] + (["warc_ts"] if self._pages_has_ts else [])
+            self.pages = pages.select(*cols)
+        else:
+            self.pages = None
+        self.fetch_fn = fetch_fn
         self.robots = robots
         self.t_frontier = SnapshotTable(workdir, "frontier")
         self.t_seen = SnapshotTable(workdir, "seen")
@@ -226,12 +253,23 @@ class CrawlEngine:
         v = self.version + 1
         meta = {"round": self._round, **self._last_meta}
         s = self._state
-        self.t_trace.commit(s["trace"], meta, version=v)
-        self.t_lineage.commit(s["lineage"], meta, version=v)
-        self.t_extracted.commit(s["extracted"], meta, version=v)
-        self.t_seen.commit(s["seen"], meta, version=v)
-        self.t_bloom.commit(s["bloom"], meta, version=v)
-        self.t_frontier.commit(s["frontier"], meta, version=v)
+        # all six write jobs run concurrently (the scheduler interleaves
+        # their stages across executors); HEAD publication then happens
+        # in strict order with the frontier LAST — its version is the
+        # round's consistency point, so it must never land before the
+        # others (write/publish split: sources/snapshots.py)
+        tables = [
+            (self.t_trace, "trace"), (self.t_lineage, "lineage"),
+            (self.t_extracted, "extracted"), (self.t_seen, "seen"),
+            (self.t_bloom, "bloom"), (self.t_frontier, "frontier"),
+        ]
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            list(pool.map(
+                lambda tk: tk[0].commit(s[tk[1]], meta, version=v, publish=False),
+                tables,
+            ))
+        for t, _k in tables:
+            t.publish_version(v)
         # re-point state at the committed files (clean lineage, no
         # dependence on the pre-commit plan)
         self._state = {
@@ -262,29 +300,60 @@ class CrawlEngine:
         frontier = self._state["frontier"]
         queued = frontier.filter(F.col("state") == "QUEUED")
         allowed, denied = robots_gate(queued, self.robots)
-        dequeued = dequeue(allowed, cfg.politeness_budget, cfg.global_budget).cache()
-        n_deq = dequeued.count()
-        denied = denied.cache()
-        n_denied = denied.count() if (cfg.detailed_metrics or n_deq == 0) else -1
+        # the rank's offsets collect IS the count — one job, not two
+        deq_info: dict = {}
+        dequeued = dequeue(
+            allowed, cfg.politeness_budget, cfg.global_budget, info=deq_info
+        ).cache()
+        n_deq = deq_info["n"]
+        self._pending_unpersist.extend(deq_info.get("persisted", []))
+        if self.robots is not None and (cfg.detailed_metrics or n_deq == 0):
+            denied = denied.cache()
+            n_denied = denied.count()
+        else:
+            n_denied = 0 if self.robots is None else -1
         tick("dequeue")
         if n_deq == 0 and n_denied == 0:
             return False
 
-        # ---- fetch (replay mode: broadcast the small dequeued batch against
-        # the pages table — the 100 TB side is scanned, never shuffled; the
-        # production path swaps this join for an HTTP mapInArrow stage).
+        # ---- fetch. Replay mode joins the dequeued batch against the
+        # pages table: small batches broadcast (the 100 TB side is
+        # scanned, never shuffled); batches past the broadcast cap fall
+        # back to a shuffled join (AQE plans it). A fetch_fn override
+        # (production HTTP stage / bench fetch emulator) replaces the
+        # join entirely — same stage boundary, same output columns.
         n_parts = cfg.fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
-        fetched = (
-            self.pages.join(F.broadcast(dequeued.select(*_FRONTIER_COLS)), "url")
-        )
-        # Salting exists for the HTTP fetch path (per-host delays run
-        # inside tasks — operators/politeness.py). In replay mode the
-        # scan-join already spreads rows across the pages partitions, so
-        # salt_buckets=0 skips a large shuffle of full page bodies.
-        if cfg.salt_buckets:
-            fetched = salt_fetch_partitions(fetched, n_parts, cfg.salt_buckets)
+        deq_cols = dequeued.select(*_FRONTIER_COLS)
+        if self.fetch_fn is not None:
+            # salt BEFORE the fetch: the skew-defusing shuffle moves only
+            # the narrow dequeued rows — page bodies are born inside the
+            # already-salted tasks and never shuffle (a post-fetch salt
+            # would move the full html payload)
+            if cfg.salt_buckets:
+                deq_cols = salt_fetch_partitions(deq_cols, n_parts, cfg.salt_buckets)
+            fetched = self.fetch_fn(deq_cols)
+        else:
+            if n_deq <= cfg.broadcast_fetch_max_rows:
+                fetched = self.pages.join(F.broadcast(deq_cols), "url")
+            else:
+                fetched = self.pages.join(deq_cols, "url")
+            if self._pages_has_ts:
+                # Common-Crawl multi-capture corpus: keep the latest
+                # capture per url AFTER the join, so the dedup shuffles
+                # only the fetched slice (one row per dequeued url, the
+                # invariant the frontier MERGE and raw-link join assume)
+                fetched = (
+                    fetched.groupBy(*_FRONTIER_COLS)
+                    .agg(F.max_by("html", "warc_ts").alias("html"))
+                )
+            # Salting exists for skew in the fetch/extract stage. In
+            # replay mode the scan-join already spreads rows across the
+            # pages partitions, so salt_buckets=0 skips a large shuffle
+            # of full page bodies.
+            if cfg.salt_buckets:
+                fetched = salt_fetch_partitions(fetched, n_parts, cfg.salt_buckets)
 
         # ---- extract: ONE mapInArrow pass parses every fetched page and
         # emits all fields, dispatched by frontier kind (listing →
@@ -303,9 +372,12 @@ class CrawlEngine:
             extract_all_schema(passthrough_schema),
         ).cache()
         # materialize NOW — downstream branches (range sampling, probe,
-        # counts) would otherwise race to fill the cache concurrently
-        ext.count()
-        failed = dequeued.join(ext.select("url"), "url", "left_anti").cache()
+        # counts) would otherwise race to fill the cache concurrently;
+        # this one action also fills the dequeued cache and yields the
+        # fetched counter for free
+        n_fetched = ext.count()
+        # single consumer (frontier2) over two cached parents — no cache
+        failed = dequeued.join(ext.select("url"), "url", "left_anti")
 
         # ---- outlink candidates. Parent dequeue order is fully derivable
         # from parent attributes — (score DESC, depth ASC, seq ASC) is the
@@ -338,23 +410,22 @@ class CrawlEngine:
             F.lit("download").alias("kind"),
             F.col("url").alias("src_url"),
         )
-        candidates = listing_out.unionByName(download_out).cache()
-        n_candidates = candidates.count() if cfg.detailed_metrics else -1
+        candidates = listing_out.unionByName(download_out)
+        if cfg.detailed_metrics:
+            candidates = candidates.cache()  # counted here + consumed below
+            n_candidates = candidates.count()
+        else:
+            n_candidates = -1  # single consumer over the cached ext — no job
         tick("fetch_extract_outlinks")
 
-        # first-occurrence dedup within the batch (deterministic: min struct
-        # over the (parent dequeue order, DOM position) total order)
+        # ---- in-batch first-occurrence dedup + seen-set dedup. The
+        # dedup (deterministic: first row in the (parent dequeue order,
+        # DOM position) total order — (parent_seq, dom_pos) is unique
+        # per candidate) fuses with the Bloom probe into one bucket
+        # shuffle (operators/seen.py:dedup_and_split_new); the exact
+        # left_anti backstop keeps the zero-false-negative contract.
         cand = (
-            candidates.groupBy("url")
-            .agg(
-                F.min(
-                    F.struct(
-                        "parent_nscore", "parent_depth", "parent_seq", "dom_pos",
-                        "kind", "src_url",
-                    )
-                ).alias("m")
-            )
-            .select("url", "m.*")
+            candidates
             .withColumn("host", host_col("url"))
             .withColumn("url_hash", url_hash_col("url"))
             .withColumn(
@@ -362,13 +433,19 @@ class CrawlEngine:
                 F.pmod(F.col("url_hash"), F.lit(cfg.n_buckets)).cast("int"),
             )
         )
-
-        # ---- seen-set dedup: Bloom pre-filter + exact anti-join backstop
         seen = self._state["seen"]
         bloom_df = self._state["bloom"]
-        new = split_new_urls(cand, seen, bloom_df).persist()
+        seen_info: dict = {}
+        # persist: the range partitioner's sampling pass + the ranked
+        # output both consume `new` (and fill this cache on first pass)
+        new = dedup_and_split_new(
+            cand, seen, bloom_df,
+            dedup_order=["parent_nscore", "parent_depth", "parent_seq", "dom_pos"],
+            info=seen_info,
+        ).persist()
 
         max_seq = self._max_seq
+        rank_info: dict = {}
         ranked_new = with_global_rank(
             new,
             [
@@ -378,6 +455,7 @@ class CrawlEngine:
                 F.col("dom_pos").asc(),
             ],
             out="_disc_rank",
+            info=rank_info,
         )
         new_front = ranked_new.select(
             "url",
@@ -391,9 +469,17 @@ class CrawlEngine:
             (F.lit(max_seq).cast("long") + F.col("_disc_rank")).alias("discovered_seq"),
             F.lit(r).alias("round"),
             F.col("src_url").alias("parent_url"),
-        ).cache()
-        n_new = new_front.count()
-        n_unique_cand = cand.count() if cfg.detailed_metrics else -1
+        )
+        # count piggybacked on the rank's offsets collect — no extra job;
+        # new_front's three consumers (frontier/seen/bloom) recompute a
+        # narrow projection over the cached ranked intermediate
+        n_new = rank_info["n"]
+        self._pending_unpersist.extend(seen_info.get("persisted", []))
+        self._pending_unpersist.extend(rank_info.get("persisted", []))
+        self._pending_unpersist.append(new)
+        n_unique_cand = (
+            cand.select("url").distinct().count() if cfg.detailed_metrics else -1
+        )
         tick("dedup_seq")
 
         # ---- frontier MERGE: untouched ∪ state-updates ∪ new QUEUED rows
@@ -468,7 +554,6 @@ class CrawlEngine:
 
         # ---- lineage / metrics (per-partition fetch + dedup counters)
         if cfg.detailed_metrics:
-            n_fetched = ext.count()
             part_rows = (
                 ext.groupBy(F.spark_partition_id().alias("pid"))
                 .count()
@@ -490,7 +575,13 @@ class CrawlEngine:
                 ("new_urls", n_new),
             ]
         else:
-            scalars = [("dequeued", n_deq), ("new_urls", n_new)]
+            # fetched/failed cost nothing (byproducts of the ext action)
+            scalars = [
+                ("dequeued", n_deq),
+                ("fetched", n_fetched),
+                ("failed", n_deq - n_fetched),
+                ("new_urls", n_new),
+            ]
         lineage = self._state["lineage"]
         lineage2 = lineage.unionByName(
             self.spark.createDataFrame(
@@ -526,20 +617,38 @@ class CrawlEngine:
             # (frontier/seen/bloom feed the next dequeue + dedup;
             # extracted feeds the next raw-link merge). trace/lineage are
             # only read at commit time — leave them as lazy union chains.
-            for k in ("frontier", "seen", "bloom", "extracted"):
-                self._state[k] = self._state[k].localCheckpoint(eager=True)
+            # The four checkpoints are independent jobs — run them
+            # concurrently so the driver pays one barrier, not four.
+            # NOTE: the eager materialization is load-bearing, not just a
+            # cache policy — round state MUST sever lineage every round.
+            # A lazily-persisted variant was measured to hang the driver:
+            # each round's plan embeds the previous round's whole AQE
+            # tree ~5× (rest/ext/new all read the prior frontier), so
+            # plan size — and the plan-description walk every action
+            # performs — grows 5^rounds.
+            keys = ("frontier", "seen", "bloom", "extracted")
+
+            def _materialize(k: str):
+                t = time.time()
+                df = self._state[k].localCheckpoint(eager=True)
+                return k, df, time.time() - t
+
+            with ThreadPoolExecutor(max_workers=len(keys)) as pool:
+                for k, df, sec in pool.map(_materialize, keys):
+                    self._state[k] = df
+                    self.timings.append((r, f"local_checkpoint[{k}]", round(sec, 3)))
             tick("local_checkpoint")
 
-        # dequeued feeds the lazy trace chain (and ext the lazy lineage
-        # chain) until the next snapshot commit — defer those
-        self._pending_unpersist.append(dequeued)
+        # Every cached intermediate this round created stays pinned until
+        # the next snapshot commit (dequeued feeds the lazy trace chain,
+        # ext the lazy lineage chain, and the rank/probe intermediates
+        # back anything not yet materialized); _commit_state releases the
+        # whole batch — nothing leaks across commits (long-crawl safety).
+        self._pending_unpersist.extend([dequeued, ext])
         if cfg.detailed_metrics:
-            self._pending_unpersist.append(ext)
-            release = (candidates, new_front, denied, failed)
-        else:
-            release = (ext, candidates, new_front, denied, failed)
-        for df in release:
-            df.unpersist()
+            self._pending_unpersist.append(candidates)
+        if denied.is_cached:
+            self._pending_unpersist.append(denied)
         return True
 
     # -- resume -----------------------------------------------------------------

@@ -53,9 +53,15 @@ def get_spark(
     multi-executor cluster for N→4N scaling evidence. Shuffle
     partitions default to the total core count.
     """
+    gc_threads = None
     if executors is not None:
         master = f"local-cluster[{executors},{executor_cores},{executor_mem_mb}]"
         total_cores = executors * executor_cores
+        # E executor JVMs on ONE box: each defaults its ParallelGC thread
+        # count to the machine's core count, so 8 executors would spawn
+        # 8×32 GC threads and stall each other — size GC to the cores the
+        # executor actually owns
+        gc_threads = max(2, executor_cores)
     else:
         if cores is None:
             env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -80,12 +86,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # plan-description strings are generated synchronously on every
+        # action; iterative round plans can get large — cap the walk
+        .config("spark.sql.maxPlanStringLength", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # G1 collapses under the allocation pattern of many concurrent
         # Arrow-Python runners (measured 4× aggregate-throughput loss at
         # 32 workers on 35KB binary rows; ParallelGC removes it)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UseParallelGC"
+            + (f" -XX:ParallelGCThreads={gc_threads}" if gc_threads else ""),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

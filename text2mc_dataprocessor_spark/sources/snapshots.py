@@ -42,10 +42,18 @@ class SnapshotTable:
 
     # -- write --------------------------------------------------------------
     def commit(self, df: DataFrame, meta: dict[str, Any] | None = None,
-               version: int | None = None) -> int:
+               version: int | None = None, publish: bool = True) -> int:
         """Atomic snapshot commit. Explicit ``version`` lets a resumed
         round re-publish the same target version after a mid-round crash
-        (the orphaned data dir of the half-committed attempt is inert)."""
+        (the orphaned data dir of the half-committed attempt is inert).
+
+        ``publish=False`` writes the data files + manifest but leaves
+        HEAD untouched — the snapshot exists (``read(version=…)`` works,
+        readers of HEAD still see the previous one) until
+        ``publish_version`` moves HEAD. This lets a multi-table commit
+        run every table's write job concurrently and still publish in a
+        strict order (the crawl publishes the frontier last — its HEAD
+        is the round's consistency point)."""
         if version is None:
             parent = self.current_version()
             version = (parent or 0) + 1
@@ -64,11 +72,16 @@ class SnapshotTable:
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
+        if publish:
+            self.publish_version(version)
+        return version
+
+    def publish_version(self, version: int) -> None:
+        """Atomically point HEAD at an already-written snapshot."""
         head_tmp = os.path.join(self.dir, "HEAD.tmp")
         with open(head_tmp, "w") as f:
             f.write(str(version))
         os.replace(head_tmp, os.path.join(self.dir, "HEAD"))
-        return version
 
     # -- read ---------------------------------------------------------------
     def current_version(self) -> int | None:
