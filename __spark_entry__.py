@@ -55,17 +55,6 @@ def _simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=8)
 
 
-def _ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text2mc_dataprocessor_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # restrict to a deterministic slice so the O(shared-shingle) join
-    # stays proportionate at every sf
-    from pyspark.sql import functions as F
-
-    return ngram_jaccard_pairs(docs.filter(F.col("doc_id") % 10 == 0), threshold=0.2)
-
-
 def _lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -108,7 +97,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q, _ = register_all()
     q["minhash_lsh_pairs"] = _minhash_pairs_q
     q["simhash_pairs"] = _simhash_pairs_q
-    q["ngram_jaccard_pairs"] = _ngram_jaccard_q
     q["cosine_topk_lsh"] = _lsh_ann_q
     q["crawl_rounds_extracted"] = _crawl_round_q
 

@@ -42,3 +42,92 @@ def test_serialization_round_trip():
     clone = CuckooFilter.from_bytes(cf.to_bytes())
     assert all(clone.contains(k) for k in range(500))
     assert clone.delete(123)
+
+
+def test_contains_many_matches_scalar():
+    """The vectorized probe must agree bit-for-bit with the scalar path."""
+    cf = CuckooFilter(capacity=4000)
+    rng = np.random.default_rng(5)
+    keys = rng.integers(-(2**62), 2**62, size=3000, dtype=np.int64)
+    for k in keys:
+        assert cf.insert(int(k))
+    mixed = np.concatenate([keys[:1500], rng.integers(-(2**62), 2**62, size=1500, dtype=np.int64)])
+    vec = cf.contains_many(mixed)
+    scalar = np.array([cf.contains(int(k)) for k in mixed])
+    assert (vec == scalar).all()
+
+
+def test_cuckoo_seen_set_no_false_negatives(spark):
+    """Distributed CuckooSeenSet: build → probe, zero false negatives
+    (same property contract as the Bloom suite), then delete → the
+    deleted keys probe unseen again."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from text2mc_dataprocessor_spark.operators.cuckoo import CuckooSeenSet
+
+    cs = CuckooSeenSet(n_buckets=16, capacity_per_bucket=2000)
+    urls = [f"https://h{i % 7}.example/p/{i}" for i in range(10_000)]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    keyed = df.withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(16)).cast("int")
+    )
+    table = cs.build(keyed).cache()
+    probed = CuckooSeenSet.probe(keyed, table)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # NO false negatives
+
+    # delete every third url → those probe unseen again (allowing only
+    # residual fingerprint collisions); the rest still all probe seen
+    dels = keyed.filter(F.xxhash64("url") % 3 == 0)
+    kept = keyed.filter(F.xxhash64("url") % 3 != 0)
+    table2 = cs.delete(table, dels.select("bucket", "url_hash")).cache()
+    still = CuckooSeenSet.probe(dels, table2).filter(F.col("maybe_seen")).count()
+    assert still < dels.count() * 0.05, still
+    assert CuckooSeenSet.probe(kept, table2).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_dedup_split_over_cuckoo(spark):
+    """split path parameterized over the cuckoo filter: returns exactly
+    the unseen urls, first occurrence per duplicate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from text2mc_dataprocessor_spark.operators.cuckoo import (
+        CuckooSeenSet,
+        cuckoo_probe_batch,
+    )
+    from text2mc_dataprocessor_spark.operators.seen import dedup_and_split_new
+
+    cs = CuckooSeenSet(n_buckets=8, capacity_per_bucket=1000)
+    seen_urls = [f"https://s/{i}" for i in range(3000)]
+    new_urls = [f"https://n/{i}" for i in range(400)]
+
+    def keyed(urls, ranks):
+        pdf = pd.DataFrame({"url": urls, "parent_rank": ranks,
+                            "dom_pos": list(range(len(urls)))})
+        return (
+            spark.createDataFrame(pdf)
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(8)).cast("int"))
+        )
+
+    seen = keyed(seen_urls, [0] * len(seen_urls)).select("url", "url_hash", "bucket")
+    table = cs.build(seen)
+    # candidates: a third of the seen urls + the new urls, each new url twice
+    cand_urls = seen_urls[::3] + new_urls + new_urls
+    ranks = list(range(len(cand_urls)))
+    out = dedup_and_split_new(
+        keyed(cand_urls, ranks), seen, table,
+        dedup_order=["parent_rank", "dom_pos"],
+        probe_batch=cuckoo_probe_batch,
+    ).collect()
+    got = {r.url for r in out}
+    assert got == set(new_urls)
+    # first-occurrence: the kept row carries the FIRST duplicate's rank
+    first_rank = {u: r for u, r in zip(cand_urls, ranks) if u in set(new_urls)}
+    want_rank = {}
+    for u, r in zip(cand_urls, ranks):
+        want_rank.setdefault(u, r)
+    assert {r.url: r.parent_rank for r in out} == {
+        u: want_rank[u] for u in set(new_urls)
+    }

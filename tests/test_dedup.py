@@ -96,3 +96,100 @@ def test_minhash_deterministic(spark, doc_corpus):
     a = D.with_minhash(df).select("doc_id", "minhash").toPandas().sort_values("doc_id")
     b = D.with_minhash(df).select("doc_id", "minhash").toPandas().sort_values("doc_id")
     assert a.minhash.map(tuple).tolist() == b.minhash.map(tuple).tolist()
+
+
+def test_vectorized_fnv_matches_scalar():
+    """The batched FNV-1a must be bit-identical to the per-char loop."""
+    import numpy as np
+
+    from text2mc_dataprocessor_spark.operators.dedup import _FNV_BASIS, _fnv1a_batch
+
+    def scalar(b: bytes, basis: int) -> int:
+        h = basis
+        for ch in b:
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    items = [b"", b"a", b"hello world", "unicode ünïcødé".encode("utf-8"),
+             b"x" * 300, b"the quick brown fox"]
+    for basis in (_FNV_BASIS, _FNV_BASIS ^ 29):
+        got = _fnv1a_batch(items, basis=basis)
+        want = np.array([scalar(b, basis) for b in items], dtype=np.uint64)
+        assert (got == want).all()
+
+
+def test_signatures_match_scalar_reference(spark):
+    """Vectorized minhash/simhash signatures equal a direct scalar
+    reimplementation of the round-1 per-char algorithms (pair sets
+    therefore unchanged by the vectorization)."""
+    import numpy as np
+    import pandas as pd
+
+    from text2mc_dataprocessor_spark.operators.dedup import (
+        _MERSENNE,
+        _minhash_params,
+        minhash_signature_udf,
+        simhash_udf,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one two",
+        "a b c d e f g h i j k l m n o p",
+        "double  space and ünïcødé tokens here",
+    ]
+
+    def fnv(b: bytes, basis=0xCBF29CE484222325) -> int:
+        h = basis
+        for ch in b:
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def scalar_minhash(t, n_hashes=16, n=3, seed=13):
+        if not t:
+            return [0] * n_hashes
+        a, b = _minhash_params(n_hashes, seed)
+        toks = t.split(" ")
+        grams = [" ".join(toks)] if len(toks) < n else [
+            " ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)
+        ]
+        sh = np.array([fnv(g.encode()) for g in grams], dtype=np.uint64) % np.uint64(_MERSENNE)
+        au, bu = a.astype(np.uint64), b.astype(np.uint64)
+        vals = (au[:, None] * sh[None, :] + bu[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1).astype(np.int64).tolist()
+
+    def scalar_simhash(t, seed=29):
+        if not t:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in t.split(" "):
+            h = fnv(tok.encode(), basis=0xCBF29CE484222325 ^ seed)
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got_mh = [r.s for r in df.select(minhash_signature_udf(16, 3, 13)("text").alias("s")).collect()]
+    assert got_mh == [scalar_minhash(t) for t in texts]
+    got_sh = [r.s for r in df.select(simhash_udf(29)("text").alias("s")).collect()]
+    assert got_sh == [scalar_simhash(t) for t in texts]
+
+
+def test_simhash_pigeonhole_guard(spark):
+    """n_bands must exceed max_hamming (ADVICE: bands ≤ hamming silently
+    drops pairs); the default auto-picks a valid band count."""
+    import pandas as pd
+    import pytest
+
+    from text2mc_dataprocessor_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b"]}))
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=8, n_bands=4)
+    # default n_bands=None auto-selects 16 for max_hamming=8
+    assert simhash_pairs(docs, max_hamming=8).count() == 1

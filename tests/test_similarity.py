@@ -64,3 +64,35 @@ def test_lsh_deterministic(spark, emb):
     a = cosine_topk_lsh(emb, queries, dim=64, k=5).toPandas().sort_values(["qid", "rank"])
     b = cosine_topk_lsh(emb, queries, dim=64, k=5).toPandas().sort_values(["qid", "rank"])
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_signature_paths_agree_and_high_dim_plans(spark):
+    """The pandas-matmul signature path (dim ≥ 128) must emit the same
+    bits as the JVM literal-expression path, and a dim=512 LSH query
+    must plan and run (the literal path's plan grows O(n_planes·dim))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from text2mc_dataprocessor_spark.operators.similarity import (
+        cosine_topk_lsh,
+        with_simhash_signature,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((64, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(64), "embedding": [v.tolist() for v in vecs]})
+    )
+    jvm = with_simhash_signature(df, dim=64, n_planes=16, force_path="jvm")
+    pdu = with_simhash_signature(df, dim=64, n_planes=16, force_path="pandas")
+    a = {r.vec_id: r.sig_bits for r in jvm.select("vec_id", "sig_bits").collect()}
+    b = {r.vec_id: r.sig_bits for r in pdu.select("vec_id", "sig_bits").collect()}
+    assert a == b
+
+    big = rng.standard_normal((80, 512)).astype(np.float32)
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(80), "embedding": [v.tolist() for v in big]})
+    )
+    out = cosine_topk_lsh(bdf, bdf.filter(F.col("vec_id") < 4), dim=512, k=3)
+    assert out.count() > 0

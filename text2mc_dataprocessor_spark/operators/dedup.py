@@ -56,20 +56,41 @@ def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    toks = text.split(" ")
+_FNV_BASIS = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _fnv1a_batch(items: list[bytes], basis: int = _FNV_BASIS) -> np.ndarray:
+    """Vectorized FNV-1a over a batch of byte strings — bit-identical to
+    the sequential per-char loop, computed column-wise over a padded
+    (n, maxlen) uint8 matrix: O(maxlen) numpy passes, no per-character
+    Python in the hot path (uint64 ops wrap mod 2^64 exactly like the
+    scalar form)."""
+    n = len(items)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(x) for x in items), count=n, dtype=np.int64)
+    maxlen = int(lens.max())
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, x in enumerate(items):  # one memcpy per string, not per char
+        if lens[i]:
+            mat[i, : lens[i]] = np.frombuffer(x, dtype=np.uint8)
+    h = np.full(n, basis, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h = np.where(active, (h ^ mat[:, j].astype(np.uint64)) * prime, h)
+    return h
+
+
+def _doc_shingles(t: str, n: int) -> list[bytes]:
+    toks = t.split(" ")
     if len(toks) < n:
         grams = [" ".join(toks)]
     else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    # Python's str hash is salted per-process → use a stable FNV-1a
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in g.encode("utf-8"):
-            h = (h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
-        out[i] = h
-    return out
+        grams = [" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)]
+    return [g.encode("utf-8") for g in grams]
 
 
 def minhash_signature_udf(n_hashes: int = 64, shingle_n: int = 3, seed: int = 13):
@@ -79,15 +100,31 @@ def minhash_signature_udf(n_hashes: int = 64, shingle_n: int = 3, seed: int = 13
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(text: pd.Series) -> pd.Series:
-        def one(t):
-            if not t:
-                return [0] * n_hashes
-            sh = _shingle_hashes(t, shingle_n) % np.uint64(_MERSENNE)
-            # (a*x + b) mod p for all hash fns at once: (H, S) matrix
-            vals = (au[:, None] * sh[None, :] + bu[:, None]) % np.uint64(_MERSENNE)
-            return vals.min(axis=1).astype(np.int64).tolist()
-
-        return text.map(one)
+        # batch-flatten every doc's shingles, hash ALL of them in one
+        # vectorized pass, then per-doc minima via a segmented reduce —
+        # Python touches strings only to slice shingles, never per char
+        texts = ["" if t is None else t for t in text]
+        grams_all: list[bytes] = []
+        starts: list[int] = []
+        counts: list[int] = []
+        for t in texts:
+            g = _doc_shingles(t, shingle_n) if t else []
+            starts.append(len(grams_all))
+            counts.append(len(g))
+            grams_all.extend(g)
+        res = np.zeros((len(texts), n_hashes), dtype=np.int64)
+        nonempty = [k for k, c in enumerate(counts) if c > 0]
+        if nonempty:
+            hashes = _fnv1a_batch(grams_all) % np.uint64(_MERSENNE)
+            with np.errstate(over="ignore"):
+                # (H, N_total) of (a*x + b) mod p for all hash fns
+                vals = (au[:, None] * hashes[None, :] + bu[:, None]) % np.uint64(
+                    _MERSENNE
+                )
+            seg_starts = np.array([starts[k] for k in nonempty])
+            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+            res[nonempty, :] = mins.T.astype(np.int64)
+        return pd.Series([r.tolist() for r in res])
 
     return sig
 
@@ -166,34 +203,63 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_udf(seed: int = 29):
+    basis = _FNV_BASIS ^ seed
+
     @F.pandas_udf(T.LongType())
     def sig(text: pd.Series) -> pd.Series:
-        def one(t):
-            if not t:
-                return 0
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.split(" "):
-                h = np.uint64(0xCBF29CE484222325 ^ seed)
-                for ch in tok.encode("utf-8"):
-                    h = (h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            out = np.uint64(0)
-            for i in range(64):
-                if acc[i] > 0:
-                    out |= np.uint64(1) << np.uint64(i)
-            return int(out.astype(np.int64))
-
-        return text.map(one)
+        # hash every token of the batch in one vectorized FNV pass,
+        # expand to a (N_tokens, 64) ±1 bit-contribution matrix, and
+        # segment-sum per doc — no per-token or per-char Python loops
+        texts = ["" if t is None else t for t in text]
+        toks_all: list[bytes] = []
+        starts: list[int] = []
+        counts: list[int] = []
+        for t in texts:
+            tk = [x.encode("utf-8") for x in t.split(" ")] if t else []
+            starts.append(len(toks_all))
+            counts.append(len(tk))
+            toks_all.extend(tk)
+        out = np.zeros(len(texts), dtype=np.int64)
+        nonempty = [k for k, c in enumerate(counts) if c > 0]
+        if nonempty:
+            hashes = _fnv1a_batch(toks_all, basis=basis)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+            contrib = (bits * 2 - 1).astype(np.int32)
+            seg_starts = np.array([starts[k] for k in nonempty])
+            acc = np.add.reduceat(contrib, seg_starts, axis=0)  # (n_nonempty, 64)
+            packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nonempty] = packed.astype(np.int64)
+        return pd.Series(out)
 
     return sig
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, n_bands: int = 4, seed: int = 29) -> DataFrame:
+                  max_hamming: int = 3, n_bands: int | None = None,
+                  seed: int = 29) -> DataFrame:
     """→ (id_a, id_b, hamming). Pigeonhole banding: if two 64-bit
-    signatures differ in ≤ max_hamming < n_bands bits, they agree on at
-    least one 16-bit band → candidates from band equi-joins only."""
+    signatures differ in ≤ max_hamming bits and are split into
+    n_bands > max_hamming bands, they agree on at least one band →
+    candidates from band equi-joins only, with ZERO recall loss.
+
+    ``n_bands=None`` (default) picks the smallest divisor of 64 that
+    satisfies the pigeonhole precondition; passing an explicit
+    ``n_bands <= max_hamming`` raises (it would silently drop pairs
+    whose differing bits spread across every band).
+    """
+    if n_bands is None:
+        n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole requires n_bands > max_hamming "
+            f"(got n_bands={n_bands}, max_hamming={max_hamming}): pairs "
+            f"differing in {n_bands}..{max_hamming} bits could miss every band"
+        )
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
     sigged = df.select(F.col(id_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh"))
     width = 64 // n_bands
     banded = sigged.select(

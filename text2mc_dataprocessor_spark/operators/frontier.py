@@ -106,25 +106,93 @@ def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
     )
 
 
+def with_grouped_rank(df: DataFrame, group_expr, order_exprs: list,
+                      out: str = "rank", info: dict | None = None) -> DataFrame:
+    """Distributed total rank 1..n when an ORDER-RESPECTING group id is
+    available: ``group_expr`` must map every row to an integer group
+    such that all rows of a lower group sort strictly before any row of
+    a higher group under the global order (and ``order_exprs`` orders
+    rows within a group, ending in a unique tie-breaker).
+
+    One counts-collect job computes per-group offsets; ranking is then
+    ``offset[group] + row_number() OVER (PARTITION BY group)``. Unlike
+    ``with_global_rank`` there is NO range-partitioner sampling pass —
+    the group id replaces sampled range bounds — so the input is
+    traversed exactly once. ``info`` receives ``{"n": total}``.
+    """
+    g = df.withColumn("_grp", group_expr.cast("long"))
+    counts = {
+        r._grp: r.n
+        for r in g.groupBy("_grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    if info is not None:
+        info["n"] = acc
+    if offsets:
+        offset_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_grp"),
+        )
+    else:
+        offset_expr = F.lit(0)
+    w = Window.partitionBy("_grp").orderBy(*order_exprs)
+    return (
+        g.withColumn(out, (F.row_number().over(w) + offset_expr).cast("long"))
+        .drop("_grp")
+    )
+
+
+def dequeue_group_expr(max_seq: int, n_groups: int = 256):
+    """Order-respecting group id for the dequeue priority order
+    (score DESC, depth ASC, discovered_seq ASC), given the current
+    frontier's max discovered_seq. Scores are the fixed kind scores
+    (listing 2.0 / detail 1.0 / download 0.0) and depth is bounded, so
+    ``((2 - score), depth)`` major-orders the groups and a
+    discovered_seq range bucket subdivides the big same-(score,depth)
+    groups for parallelism. Group balance only affects parallelism,
+    never correctness."""
+    srank = (F.lit(2.0) - F.col("score")).cast("long")
+    seq_bucket = F.floor(
+        F.col("discovered_seq") * n_groups / F.lit(max(max_seq, 0) + 1)
+    )
+    seq_bucket = F.least(F.greatest(seq_bucket, F.lit(0)), F.lit(n_groups - 1))
+    return (srank * 4096 + F.col("depth")) * n_groups + seq_bucket
+
+
 def dequeue(queued: DataFrame, politeness_budget: int,
             global_budget: int | None = None,
-            info: dict | None = None) -> DataFrame:
+            info: dict | None = None,
+            max_seq: int | None = None) -> DataFrame:
     """Top-k QUEUED rows per host (k = politeness budget), plus a
     ``dequeue_rank`` giving the deterministic within-round order
     (distributed rank — no single-partition window).
 
-    ``info`` (optional) receives the exact dequeued count and the cached
-    intermediate, piggybacked on the rank's offsets collect (see
-    ``with_global_rank``) — the crawl loop's termination check costs no
-    extra Spark job."""
+    ``info`` (optional) receives the exact dequeued count and any cached
+    intermediate, piggybacked on the rank's offsets collect — the crawl
+    loop's termination check costs no extra Spark job. With ``max_seq``
+    the rank uses order-respecting (score, depth, seq-bucket) groups
+    (``with_grouped_rank`` — single pass, no sampling); without it the
+    generic sampled range rank runs."""
     per_host = Window.partitionBy("host").orderBy(*priority_order())
     picked = (
         queued.withColumn("host_rank", F.row_number().over(per_host))
         .filter(F.col("host_rank") <= politeness_budget)
         .drop("host_rank")
     )
-    picked = with_global_rank(picked, priority_order(), out="dequeue_rank",
-                              info=info, persist_input=info is not None)
+    if max_seq is not None:
+        if info is not None:
+            picked = picked.persist()
+            info.setdefault("persisted", []).append(picked)
+        picked = with_grouped_rank(
+            picked, dequeue_group_expr(max_seq), priority_order(),
+            out="dequeue_rank", info=info,
+        )
+    else:
+        picked = with_global_rank(picked, priority_order(), out="dequeue_rank",
+                                  info=info, persist_input=info is not None)
     if global_budget is not None:
         picked = picked.filter(F.col("dequeue_rank") <= global_budget)
         if info is not None:

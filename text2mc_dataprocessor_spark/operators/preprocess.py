@@ -141,10 +141,12 @@ def tag_frequencies(df: DataFrame, tags_col: str = "tags") -> DataFrame:
 def top_tags(df: DataFrame, tags_col: str = "tags", k: int = 30) -> DataFrame:
     """T5 — head(30)[1:]: top-k by count then drop the #1 row
     (preprocess.py:166-170). Ties broken by tag for determinism."""
-    w = Window.orderBy(F.col("n").desc(), F.col("tag"))
+    from .frontier import with_global_rank
+
+    ranked = with_global_rank(
+        tag_frequencies(df, tags_col), [F.col("n").desc(), F.col("tag")], out="rank"
+    )
     return (
-        tag_frequencies(df, tags_col)
-        .withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") > 1) & (F.col("rank") <= k))
-        .select("tag", "n", "rank")
+        ranked.filter((F.col("rank") > 1) & (F.col("rank") <= k))
+        .select("tag", "n", F.col("rank").cast("int").alias("rank"))
     )

@@ -198,9 +198,18 @@ class PartitionedBloom:
         )
 
 
+def bloom_probe_batch(filter_row, keys: np.ndarray) -> np.ndarray:
+    """Membership test of a key batch against one bucket's Bloom row —
+    the default ``probe_batch`` for the fused dedup+probe below (the
+    cuckoo variant plugs in ``operators.cuckoo.cuckoo_probe_batch``)."""
+    bits = np.frombuffer(filter_row["bits"], dtype=np.uint8)
+    return _test_bits(bits, keys, int(filter_row["n_bits"]), int(filter_row["n_hashes"]))
+
+
 def dedup_and_split_new(candidates: DataFrame, seen_df: DataFrame,
                         bloom_df: DataFrame, dedup_order: list[str],
-                        info: dict | None = None) -> DataFrame:
+                        info: dict | None = None,
+                        probe_batch=None) -> DataFrame:
     """First-occurrence dedup per url + Bloom probe fused into ONE
     bucket shuffle, then the exact ``left_anti`` backstop.
 
@@ -215,7 +224,14 @@ def dedup_and_split_new(candidates: DataFrame, seen_df: DataFrame,
 
     candidates must carry (bucket, url_hash) + ``dedup_order`` columns.
     Output: one row per distinct url, NOT in the seen set.
+
+    ``probe_batch``: (filter_row, keys)->bool[] membership test — the
+    seen-set filter is pluggable (Bloom default; the deletable cuckoo
+    variant via ``operators.cuckoo.cuckoo_probe_batch``). Both have no
+    false negatives, so the exact-backstop contract is identical.
     """
+    if probe_batch is None:
+        probe_batch = bloom_probe_batch
     out_schema = candidates.schema
     cols = [f.name for f in out_schema.fields]
 
@@ -229,10 +245,8 @@ def dedup_and_split_new(candidates: DataFrame, seen_df: DataFrame,
         if bloom_pdf.empty:
             flags = np.zeros(len(cand_pdf), dtype=bool)
         else:
-            row = bloom_pdf.iloc[0]
-            bits = np.frombuffer(row["bits"], dtype=np.uint8)
             keys = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
-            flags = _test_bits(bits, keys, int(row["n_bits"]), int(row["n_hashes"]))
+            flags = np.asarray(probe_batch(bloom_pdf.iloc[0], keys), dtype=bool)
         out = cand_pdf.copy()
         out["maybe_seen"] = flags
         return out

@@ -113,6 +113,29 @@ def modded_abort(df: DataFrame, prefix: str = "minecraft") -> bool:
     return n > 0
 
 
+# -- F10/F11: chunk/region admission gates ------------------------------------------
+
+MIN_INHABITED_TICKS = 30  # 1.5 s at 20 ticks/s (world2vec.py:141-144)
+
+
+def inhabited_gate(df: DataFrame, col: str = "inhabited_time") -> DataFrame:
+    """F10 — keep chunks players actually visited: InhabitedTime ≥ 1.5 s
+    (30 ticks), or the field absent/NULL (older worlds lack it — the
+    reference treats a missing field as pass:
+    /root/reference/world2vec/world2vec.py:141-144, 176-194). At scan
+    time this predicate is exactly a zone-map skip: Parquet column
+    min/max stats prune whole row groups of unvisited chunks."""
+    c = F.col(col)
+    return df.filter(c.isNull() | (c >= F.lit(MIN_INHABITED_TICKS)))
+
+
+def nonempty_region_gate(df: DataFrame, count_col: str = "n_chunks") -> DataFrame:
+    """F11 — skip empty region files (``region.data`` falsy,
+    world2vec.py:150-151): keep regions with a non-zero chunk payload."""
+    c = F.col(count_col)
+    return df.filter(c.isNotNull() & (c > 0))
+
+
 # -- J4: bbox range join -------------------------------------------------------------
 
 def bbox_range_join(clusters: DataFrame, chunks: DataFrame) -> DataFrame:
@@ -129,14 +152,14 @@ def bbox_range_join(clusters: DataFrame, chunks: DataFrame) -> DataFrame:
 # -- A6-A10 ---------------------------------------------------------------------------
 
 def mode_of(df: DataFrame, col: str) -> DataFrame:
-    """A6 — most frequent value, deterministic tie-break on the value."""
-    w = Window.orderBy(F.col("n").desc(), F.col(col))
-    return (
-        df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(col)
-    )
+    """A6 — most frequent value, deterministic tie-break on the value.
+    Two-phase distributed rank: post-aggregation cardinality is small,
+    but nothing should funnel through a single-partition window."""
+    from .frontier import with_global_rank
+
+    freq = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    ranked = with_global_rank(freq, [F.col("n").desc(), F.col(col)], out="rn")
+    return ranked.filter(F.col("rn") == 1).select(col)
 
 
 def build_extents(df: DataFrame) -> DataFrame:

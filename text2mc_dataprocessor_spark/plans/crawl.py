@@ -47,16 +47,17 @@ from ..operators.frontier import (
     FRONTIER_SCHEMA,
     dequeue,
     kind_score_expr,
-    with_global_rank,
+    with_grouped_rank,
 )
 from ..operators.politeness import robots_gate, salt_fetch_partitions
 from ..operators.seen import PartitionedBloom, dedup_and_split_new
+from ..sources.fetch import TableFetcher
 from ..sources.snapshots import SnapshotTable
 
 SEEN_SCHEMA = "url string, url_hash long, bucket int"
 EXTRACTED_SCHEMA = (
     "url string, download_url string, image_url string, tags string, "
-    "raw_download_link string, extracted_text string"
+    "raw_download_link string, download_size long, extracted_text string"
 )
 TRACE_SCHEMA = "dequeue_seq long, round int, url string, host string, kind string"
 LINEAGE_SCHEMA = "round int, metric string, key string, value long"
@@ -90,6 +91,11 @@ class CrawlConfig:
     # shuffled); batches above this row count fall back to a shuffled
     # join so the driver never materializes an oversized broadcast.
     broadcast_fetch_max_rows: int = 400_000
+    # Probabilistic seen-set pre-filter: "bloom" (default — smallest
+    # bitmaps) or "cuckoo" (deletable — supports re-crawl scheduling via
+    # CrawlEngine.forget). Both are partitioned per bucket with zero
+    # false negatives; the exact left_anti backstop is identical.
+    seen_filter: str = "bloom"
 
 
 _STATE_TABLES = ("frontier", "seen", "bloom", "extracted", "trace", "lineage")
@@ -104,6 +110,7 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         config: CrawlConfig | None = None,
         fetch_fn: Callable[[DataFrame], DataFrame] | None = None,
+        artifacts: DataFrame | None = None,
     ):
         """``pages``: replay corpus (url, html[, warc_ts]). With a
         ``warc_ts`` column (Common-Crawl-style multi-capture input,
@@ -117,6 +124,14 @@ class CrawlEngine:
         batch (FRONTIER_SCHEMA columns) to the same columns + ``html``
         binary. Production swaps in ``sources.fetch.HttpFetcher``
         semantics here; the default is replay via the pages table.
+
+        ``artifacts``: optional (url, html binary) table of downloadable
+        artifacts. When present, every extracted row that gains a
+        ``raw_download_link`` is HEAD-probed against it (S6 — metadata
+        -only fetch, ``download_size`` = Content-Length analog; the
+        reference probes every RAW_DOWNLOAD_LINK at
+        selenium_scraper.py:520-573). Without it ``download_size``
+        stays NULL, as the reference leaves NaN before that pass runs.
         """
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -127,6 +142,9 @@ class CrawlEngine:
         else:
             self.pages = None
         self.fetch_fn = fetch_fn
+        self.artifacts = (
+            artifacts.select("url", "html") if artifacts is not None else None
+        )
         self.robots = robots
         self.t_frontier = SnapshotTable(workdir, "frontier")
         self.t_seen = SnapshotTable(workdir, "seen")
@@ -134,10 +152,38 @@ class CrawlEngine:
         self.t_extracted = SnapshotTable(workdir, "extracted")
         self.t_trace = SnapshotTable(workdir, "trace")
         self.t_lineage = SnapshotTable(workdir, "lineage")
-        self.bloom = PartitionedBloom(
-            self.cfg.n_buckets, self.cfg.bloom_capacity_per_bucket, self.cfg.bloom_fpr
-        )
+        if self.cfg.seen_filter == "cuckoo":
+            from ..operators.cuckoo import CuckooSeenSet, cuckoo_probe_batch
+
+            self.bloom = CuckooSeenSet(
+                self.cfg.n_buckets, self.cfg.bloom_capacity_per_bucket
+            )
+            self._probe_batch = cuckoo_probe_batch
+        else:
+            from ..operators.seen import bloom_probe_batch
+
+            self.bloom = PartitionedBloom(
+                self.cfg.n_buckets, self.cfg.bloom_capacity_per_bucket,
+                self.cfg.bloom_fpr,
+            )
+            self._probe_batch = bloom_probe_batch
+        self._seen_full_rewrite = False
+        # In-memory round state. The frontier is held SPLIT: ``queue``
+        # (QUEUED rows only — rewritten and localCheckpointed per
+        # round) and an append-only DONE side (base at last commit +
+        # per-round deltas, never materialized in-round). Trace /
+        # lineage / seen likewise track their per-round deltas so the
+        # snapshot commit appends history segments instead of
+        # rewriting monotonically growing tables (sources/snapshots.py
+        # commit_append — the 10^10-row requirement).
         self._state: dict[str, DataFrame] | None = None
+        self._done_base: DataFrame | None = None
+        self._done_deltas: list[DataFrame] = []
+        self._seen_deltas: list[DataFrame] = []
+        self._trace_base: DataFrame | None = None
+        self._trace_deltas: list[DataFrame] = []
+        self._lineage_base: DataFrame | None = None
+        self._lineage_deltas: list[DataFrame] = []
         self._max_seq: int = 0
         self._trace_count: int = 0
         self._round: int = 0
@@ -182,17 +228,30 @@ class CrawlEngine:
     def _load_state(self) -> None:
         """Hydrate in-memory state from the frontier's consistent version."""
         v = self.version
+        spark = self.spark
+        main = self.t_frontier.read_main(spark, v)
+        hist = self.t_frontier.read_history(spark, v)
+        queue = main.filter(F.col("state") == "QUEUED")
+        done = main.filter(F.col("state") != "QUEUED")
+        if hist is not None:
+            done = done.unionByName(hist)
         self._state = {
-            "frontier": self.t_frontier.read(self.spark, v),
-            "seen": self.t_seen.read(self.spark, v),
-            "bloom": self.t_bloom.read(self.spark, v),
-            "extracted": self.t_extracted.read(self.spark, v),
-            "trace": self.t_trace.read(self.spark, v),
-            "lineage": self.t_lineage.read(self.spark, v),
+            "queue": queue,
+            "seen": self.t_seen.read(spark, v),
+            "bloom": self.t_bloom.read(spark, v),
+            "extracted": self.t_extracted.read(spark, v),
         }
-        ms = self._state["frontier"].agg(F.max("discovered_seq")).first()[0]
+        self._done_base = done
+        self._done_deltas = []
+        self._seen_deltas = []
+        self._trace_base = self.t_trace.read(spark, v)
+        self._trace_deltas = []
+        self._lineage_base = self.t_lineage.read(spark, v)
+        self._lineage_deltas = []
+        self._seen_full_rewrite = False
+        ms = self.frontier_df().agg(F.max("discovered_seq")).first()[0]
         self._max_seq = int(ms) if ms is not None else -1
-        self._trace_count = self._state["trace"].count()
+        self._trace_count = self._trace_base.count()
         self._round = self.round_number()
         self._dirty = False
 
@@ -205,6 +264,48 @@ class CrawlEngine:
 
     def round_number(self, version: int | None = None) -> int:
         return int(self.t_frontier.manifest(version)["meta"]["round"])
+
+    def forget(self, urls: DataFrame) -> None:
+        """Re-crawl scheduling (the deletable-filter use case): remove
+        ``urls`` (one ``url`` column) from the seen set so their NEXT
+        discovery re-enqueues them through the normal dedup path.
+
+        The exact seen table always shrinks; with ``seen_filter=
+        "cuckoo"`` the probabilistic pre-filter forgets too (its delete
+        path), keeping the pre-filter selective. With Bloom the bits
+        stay set — still CORRECT (the forgotten url probes maybe_seen
+        and the exact left_anti backstop readmits it) but the
+        pre-filter stops short-circuiting for that url; delete-heavy
+        schedules should run the cuckoo variant.
+
+        Forget urls that are no longer QUEUED — a re-crawled url gets a
+        fresh frontier row, and its earlier FETCHED row remains in the
+        done history (multiple fetch events per url are legitimate
+        re-crawl history). The next snapshot rewrites the seen table in
+        full (append-only history cannot express a delete).
+        """
+        if self._state is None:
+            self._load_state()
+        urls = urls.select("url")
+        keyed = urls.select(
+            "url",
+            url_hash_col("url").alias("url_hash"),
+            F.pmod(url_hash_col("url"), F.lit(self.cfg.n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        seen2 = self._state["seen"].join(urls, "url", "left_anti")
+        if hasattr(self.bloom, "delete"):
+            filt2 = self.bloom.delete(
+                self._state["bloom"], keyed.select("bucket", "url_hash")
+            )
+        else:
+            filt2 = self._state["bloom"]
+        self._state["seen"] = seen2.localCheckpoint(eager=True)
+        self._state["bloom"] = filt2.localCheckpoint(eager=True)
+        self._seen_deltas = []  # subsumed by the full rewrite
+        self._seen_full_rewrite = True
+        self._dirty = True
 
     def rollback(self, version: int) -> None:
         """Resume-from-any-snapshot: point every table at ``version``."""
@@ -219,8 +320,17 @@ class CrawlEngine:
             return self._state[name]
         return table.read(self.spark, self.version)
 
+    @staticmethod
+    def _with_deltas(base: DataFrame, deltas: list[DataFrame]) -> DataFrame:
+        for d in deltas:
+            base = base.unionByName(d)
+        return base
+
     def frontier_df(self) -> DataFrame:
-        return self._get("frontier", self.t_frontier)
+        if self._state is None:
+            return self.t_frontier.read(self.spark, self.version)
+        done = self._with_deltas(self._done_base, self._done_deltas)
+        return self._state["queue"].unionByName(done)
 
     def seen_df(self) -> DataFrame:
         return self._get("seen", self.t_seen)
@@ -229,10 +339,14 @@ class CrawlEngine:
         return self._get("extracted", self.t_extracted)
 
     def trace_df(self) -> DataFrame:
-        return self._get("trace", self.t_trace)
+        if self._state is None:
+            return self.t_trace.read(self.spark, self.version)
+        return self._with_deltas(self._trace_base, self._trace_deltas)
 
     def lineage_df(self) -> DataFrame:
-        return self._get("lineage", self.t_lineage)
+        if self._state is None:
+            return self.t_lineage.read(self.spark, self.version)
+        return self._with_deltas(self._lineage_base, self._lineage_deltas)
 
     # -- driving ---------------------------------------------------------------
     def run(self, rounds: int | None = None) -> int:
@@ -249,37 +363,82 @@ class CrawlEngine:
             self._commit_state()
         return done
 
+    @staticmethod
+    def _union_or_none(deltas: list[DataFrame]) -> DataFrame | None:
+        if not deltas:
+            return None
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        return out
+
     def _commit_state(self) -> None:
         v = self.version + 1
         meta = {"round": self._round, **self._last_meta}
         s = self._state
-        # all six write jobs run concurrently (the scheduler interleaves
-        # their stages across executors); HEAD publication then happens
+        # Incremental commit: the queue (the only shrinking/rewritten
+        # part of the frontier) is written in full; everything that only
+        # GROWS — done history, seen keys, trace, lineage — is committed
+        # as appended delta segments, byte-reusing every parent data dir
+        # (sources/snapshots.py). Extracted (raw-link coalesce mutates
+        # rows) and bloom (bitmaps mutate) rewrite; both are bounded by
+        # detail pages / bucket count, not crawl history.
+        # All write jobs run concurrently; HEAD publication then happens
         # in strict order with the frontier LAST — its version is the
         # round's consistency point, so it must never land before the
-        # others (write/publish split: sources/snapshots.py)
-        tables = [
-            (self.t_trace, "trace"), (self.t_lineage, "lineage"),
-            (self.t_extracted, "extracted"), (self.t_seen, "seen"),
-            (self.t_bloom, "bloom"), (self.t_frontier, "frontier"),
+        # others.
+        writes = [
+            lambda: self.t_trace.commit_append(
+                self._union_or_none(self._trace_deltas), meta, version=v,
+                publish=False),
+            lambda: self.t_lineage.commit_append(
+                self._union_or_none(self._lineage_deltas), meta, version=v,
+                publish=False),
+            lambda: (
+                # forget() shrank the seen set — append-only history
+                # can't express a delete, so this commit rewrites seen
+                # in full (rare: only re-crawl scheduling triggers it)
+                self.t_seen.commit(s["seen"], meta, version=v, publish=False)
+                if self._seen_full_rewrite
+                else self.t_seen.commit_append(
+                    self._union_or_none(self._seen_deltas), meta, version=v,
+                    publish=False)
+            ),
+            lambda: self.t_extracted.commit(
+                s["extracted"], meta, version=v, publish=False),
+            lambda: self.t_bloom.commit(
+                s["bloom"], meta, version=v, publish=False),
+            lambda: self.t_frontier.commit_with_history(
+                s["queue"], self._union_or_none(self._done_deltas), meta,
+                version=v, publish=False),
         ]
-        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
-            list(pool.map(
-                lambda tk: tk[0].commit(s[tk[1]], meta, version=v, publish=False),
-                tables,
-            ))
-        for t, _k in tables:
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            list(pool.map(lambda w: w(), writes))
+        for t in (self.t_trace, self.t_lineage, self.t_seen,
+                  self.t_extracted, self.t_bloom, self.t_frontier):
             t.publish_version(v)
         # re-point state at the committed files (clean lineage, no
         # dependence on the pre-commit plan)
+        spark = self.spark
+        main = self.t_frontier.read_main(spark, v)
+        hist = self.t_frontier.read_history(spark, v)
+        done = main.filter(F.col("state") != "QUEUED")
+        if hist is not None:
+            done = done.unionByName(hist)
         self._state = {
-            "frontier": self.t_frontier.read(self.spark, v),
-            "seen": self.t_seen.read(self.spark, v),
-            "bloom": self.t_bloom.read(self.spark, v),
-            "extracted": self.t_extracted.read(self.spark, v),
-            "trace": self.t_trace.read(self.spark, v),
-            "lineage": self.t_lineage.read(self.spark, v),
+            "queue": main.filter(F.col("state") == "QUEUED"),
+            "seen": self.t_seen.read(spark, v),
+            "bloom": self.t_bloom.read(spark, v),
+            "extracted": self.t_extracted.read(spark, v),
         }
+        self._done_base = done
+        self._done_deltas = []
+        self._seen_deltas = []
+        self._trace_base = self.t_trace.read(spark, v)
+        self._trace_deltas = []
+        self._lineage_base = self.t_lineage.read(spark, v)
+        self._lineage_deltas = []
+        self._seen_full_rewrite = False
         for df in self._pending_unpersist:
             df.unpersist()
         self._pending_unpersist.clear()
@@ -297,13 +456,15 @@ class CrawlEngine:
             self.timings.append((r, stage, round(now - t0, 3)))
             t0 = now
 
-        frontier = self._state["frontier"]
-        queued = frontier.filter(F.col("state") == "QUEUED")
-        allowed, denied = robots_gate(queued, self.robots)
-        # the rank's offsets collect IS the count — one job, not two
+        # the queue IS the QUEUED set (frontier = queue ∪ done history)
+        queue = self._state["queue"]
+        allowed, denied = robots_gate(queue, self.robots)
+        # the rank's offsets collect IS the count — one job, not two;
+        # max_seq enables the sampling-free grouped rank
         deq_info: dict = {}
         dequeued = dequeue(
-            allowed, cfg.politeness_budget, cfg.global_budget, info=deq_info
+            allowed, cfg.politeness_budget, cfg.global_budget, info=deq_info,
+            max_seq=self._max_seq,
         ).cache()
         n_deq = deq_info["n"]
         self._pending_unpersist.extend(deq_info.get("persisted", []))
@@ -325,7 +486,10 @@ class CrawlEngine:
         n_parts = cfg.fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
-        deq_cols = dequeued.select(*_FRONTIER_COLS)
+        # dequeue_rank rides along: it IS the parent priority order, so
+        # outlink ordering (and the new-URL rank's order-respecting
+        # groups) derive from it without any range sampling downstream
+        deq_cols = dequeued.select(*_FRONTIER_COLS, "dequeue_rank")
         if self.fetch_fn is not None:
             # salt BEFORE the fetch: the skew-defusing shuffle moves only
             # the narrow dequeued rows — page bodies are born inside the
@@ -345,7 +509,7 @@ class CrawlEngine:
                 # only the fetched slice (one row per dequeued url, the
                 # invariant the frontier MERGE and raw-link join assume)
                 fetched = (
-                    fetched.groupBy(*_FRONTIER_COLS)
+                    fetched.groupBy(*_FRONTIER_COLS, "dequeue_rank")
                     .agg(F.max_by("html", "warc_ts").alias("html"))
                 )
             # Salting exists for skew in the fetch/extract stage. In
@@ -363,9 +527,11 @@ class CrawlEngine:
         # and are never re-cached. All frontier columns pass through so
         # the narrow ``ext`` output is the only per-round cache.
         passthrough = [c for c in _FRONTIER_COLS if c not in ("url", "kind")]
+        passthrough.append("dequeue_rank")
         passthrough_schema = (
             "host string, url_hash long, bucket int, depth int, score double, "
-            "state string, discovered_seq long, round int, parent_url string"
+            "state string, discovered_seq long, round int, parent_url string, "
+            "dequeue_rank long"
         )
         ext = fetched.select("url", "kind", "html", *passthrough).mapInArrow(
             extract_all_arrow_factory(passthrough),
@@ -379,14 +545,14 @@ class CrawlEngine:
         # single consumer (frontier2) over two cached parents — no cache
         failed = dequeued.join(ext.select("url"), "url", "left_anti")
 
-        # ---- outlink candidates. Parent dequeue order is fully derivable
-        # from parent attributes — (score DESC, depth ASC, seq ASC) is the
-        # dequeue priority itself — so ordering keys travel on the rows
-        # and no global rank is needed here.
+        # ---- outlink candidates. The parent's dequeue_rank IS the
+        # parent priority order (rank over (score DESC, depth ASC, seq
+        # ASC)), so (parent_rank, dom_pos) is a total order over the
+        # round's candidates and travels on the rows — no range
+        # sampling anywhere downstream.
         parent_key = [
-            (-F.col("score")).alias("parent_nscore"),
+            F.col("dequeue_rank").alias("parent_rank"),
             F.col("depth").alias("parent_depth"),
-            F.col("discovered_seq").alias("parent_seq"),
         ]
         listing_out = ext.filter(F.col("kind") == "listing").select(
             *parent_key,
@@ -394,9 +560,8 @@ class CrawlEngine:
             F.explode("outlinks").alias("o"),
         ).select(
             F.col("o.href").alias("url"),
-            "parent_nscore",
+            "parent_rank",
             "parent_depth",
-            "parent_seq",
             F.col("o.dom_pos").alias("dom_pos"),
             F.col("o.kind").alias("kind"),
             "src_url",
@@ -440,20 +605,24 @@ class CrawlEngine:
         # output both consume `new` (and fill this cache on first pass)
         new = dedup_and_split_new(
             cand, seen, bloom_df,
-            dedup_order=["parent_nscore", "parent_depth", "parent_seq", "dom_pos"],
+            dedup_order=["parent_rank", "dom_pos"],
             info=seen_info,
+            probe_batch=self._probe_batch,
         ).persist()
 
+        # discovered_seq rank: parent_rank ranges are order-respecting
+        # groups (all candidates of lower-ranked parents sort first), so
+        # the grouped rank runs in a single pass — one counts collect,
+        # no range-partitioner sampling of `new`.
         max_seq = self._max_seq
         rank_info: dict = {}
-        ranked_new = with_global_rank(
+        new_grp = F.floor(
+            (F.col("parent_rank") - 1) * F.lit(n_parts) / F.lit(max(n_deq, 1))
+        )
+        ranked_new = with_grouped_rank(
             new,
-            [
-                F.col("parent_nscore").asc(),
-                F.col("parent_depth").asc(),
-                F.col("parent_seq").asc(),
-                F.col("dom_pos").asc(),
-            ],
+            new_grp,
+            [F.col("parent_rank").asc(), F.col("dom_pos").asc()],
             out="_disc_rank",
             info=rank_info,
         )
@@ -482,28 +651,43 @@ class CrawlEngine:
         )
         tick("dedup_seq")
 
-        # ---- frontier MERGE: untouched ∪ state-updates ∪ new QUEUED rows
+        # ---- frontier MERGE, split-state form: the queue drops the
+        # touched rows and gains the new QUEUED ones; rows that reached
+        # a terminal state this round become an APPEND-ONLY done delta
+        # (never re-read in-round, committed as a history segment — the
+        # per-round cost is O(queue + round), not O(crawl history)).
         touched = dequeued.select("url").unionByName(denied.select("url"))
-        rest = frontier.join(touched, "url", "left_anti")
+        rest = queue.join(touched, "url", "left_anti")
 
         def as_state(df: DataFrame, state: str) -> DataFrame:
             return df.select(*_FRONTIER_COLS).withColumn("state", F.lit(state)).select(
                 *_FRONTIER_COLS
             )
 
-        frontier2 = (
-            rest.select(*_FRONTIER_COLS)
-            .unionByName(as_state(ext, "FETCHED"))
+        queue2 = rest.select(*_FRONTIER_COLS).unionByName(new_front)
+        done_delta = (
+            as_state(ext, "FETCHED")
             .unionByName(as_state(failed, "FAILED"))
             .unionByName(as_state(denied, "ROBOTS_DENIED"))
-            .unionByName(new_front)
         )
 
-        # ---- seen / bloom updates
-        seen2 = seen.unionByName(new_front.select("url", "url_hash", "bucket"))
+        # ---- seen / bloom updates (seen delta committed append-only)
+        seen_delta = new_front.select("url", "url_hash", "bucket")
+        seen2 = seen.unionByName(seen_delta)
         bloom2 = self.bloom.merge(bloom_df, new_front.select("bucket", "url_hash"))
 
-        # ---- extracted: new detail rows + raw-link fills from download pages
+        # ---- extracted: new detail rows + raw-link fills. The fill is
+        # keyed by DOWNLOAD_URL, not by the one parent that enqueued the
+        # download page: the reference re-fetches the download page for
+        # EVERY row (scrape_raw_map_download_links has no seen check,
+        # selenium_scraper.py:280-345), so every row sharing a
+        # download_url gets the link. The engine fetches each download
+        # page once and instead joins an accumulated
+        # (download_url → raw_link) map: this round's download fetches ∪
+        # links already recorded in extracted — the union term covers
+        # detail rows extracted AFTER their download_url was fetched
+        # (the seen set suppresses the re-fetch). The map is bounded by
+        # fetched download pages, not crawl history.
         extracted = self._state["extracted"]
         new_ext = ext.filter(F.col("kind") == "detail").select(
             "url",
@@ -511,45 +695,63 @@ class CrawlEngine:
             "image_url",
             "tags",
             F.lit("").alias("raw_download_link"),
+            F.lit(None).cast("long").alias("download_size"),
         )
-        raw_upd = ext.filter(F.col("kind") == "download").select(
-            F.col("parent_url").alias("url"), F.col("raw_link").alias("_new_raw")
+        raw_new = ext.filter(F.col("kind") == "download").select(
+            F.col("url").alias("download_url"), F.col("raw_link").alias("_new_raw")
+        )
+        raw_known = extracted.filter(
+            (F.col("raw_download_link") != "") & (F.col("download_url") != "")
+        ).select("download_url", F.col("raw_download_link").alias("_new_raw"))
+        raw_map = (
+            raw_new.unionByName(raw_known)
+            .groupBy("download_url")
+            .agg(F.max("_new_raw").alias("_new_raw"))
         )
         ext_all = (
             extracted.select(
-                "url", "download_url", "image_url", "tags", "raw_download_link"
+                "url", "download_url", "image_url", "tags", "raw_download_link",
+                "download_size",
             )
             .unionByName(new_ext)
-            .join(raw_upd, "url", "left")
+            .join(raw_map, "download_url", "left")
             .withColumn(
                 "raw_download_link",
                 F.coalesce(F.col("_new_raw"), F.col("raw_download_link")),
             )
             .drop("_new_raw")
-            .withColumn(
-                "extracted_text",
-                F.concat_ws(
-                    FIELD_SEP,
-                    "download_url",
-                    "image_url",
-                    "tags",
-                    "raw_download_link",
-                ),
+        )
+        if self.artifacts is not None:
+            # S6 HEAD probe: fill download_size for rows that (now) have
+            # a raw link but no size — metadata-only, body never moves
+            probe_pred = (F.col("raw_download_link") != "") & F.col(
+                "download_size"
+            ).isNull()
+            probed_sz = TableFetcher(self.artifacts).head(
+                ext_all.filter(probe_pred).drop("download_size"),
+                url_col="raw_download_link",
             )
+            ext_all = ext_all.filter(~probe_pred).unionByName(probed_sz)
+        ext_all = ext_all.withColumn(
+            "extracted_text",
+            F.concat_ws(
+                FIELD_SEP,
+                "download_url",
+                "image_url",
+                "tags",
+                "raw_download_link",
+            ),
         )
 
-        # ---- trace append (dequeue order is the explicit rank, never
-        # physical row order)
-        trace = self._state["trace"]
+        # ---- trace delta (dequeue order is the explicit rank, never
+        # physical row order); committed as an appended history segment
         prev_total = self._trace_count
-        trace2 = trace.unionByName(
-            dequeued.select(
-                (F.lit(prev_total) + F.col("dequeue_rank") - 1).alias("dequeue_seq"),
-                F.lit(r).alias("round"),
-                "url",
-                "host",
-                "kind",
-            )
+        trace_delta = dequeued.select(
+            (F.lit(prev_total) + F.col("dequeue_rank") - 1).alias("dequeue_seq"),
+            F.lit(r).alias("round"),
+            "url",
+            "host",
+            "kind",
         )
 
         # ---- lineage / metrics (per-partition fetch + dedup counters)
@@ -582,28 +784,30 @@ class CrawlEngine:
                 ("failed", n_deq - n_fetched),
                 ("new_urls", n_new),
             ]
-        lineage = self._state["lineage"]
-        lineage2 = lineage.unionByName(
-            self.spark.createDataFrame(
-                [(r, m, "total", int(v)) for m, v in scalars], LINEAGE_SCHEMA
-            )
+        lineage_delta = self.spark.createDataFrame(
+            [(r, m, "total", int(v)) for m, v in scalars], LINEAGE_SCHEMA
         )
         if cfg.detailed_metrics:
-            lineage2 = lineage2.unionByName(part_rows)
+            lineage_delta = lineage_delta.unionByName(part_rows)
         tick("metrics")
 
         # ---- publish the round: in-memory state always; snapshot commit
         # at the configured cadence (frontier commit last = the round's
-        # consistency point). coalesce: each round's unions would otherwise
-        # stack partitions (k rounds → k·P tasks per downstream stage).
+        # consistency point). Append-only sides (done/seen/trace/lineage
+        # deltas) stay as lazy views over this round's cached
+        # intermediates until the commit appends them as history
+        # segments. coalesce: each round's unions would otherwise stack
+        # partitions (k rounds → k·P tasks per downstream stage).
         self._state = {
-            "frontier": frontier2.coalesce(n_parts),
+            "queue": queue2.coalesce(n_parts),
             "seen": seen2.coalesce(n_parts),
             "bloom": bloom2,
             "extracted": ext_all.coalesce(n_parts),
-            "trace": trace2.coalesce(n_parts),
-            "lineage": lineage2.coalesce(8),
         }
+        self._done_deltas.append(done_delta.coalesce(n_parts))
+        self._seen_deltas.append(seen_delta.coalesce(n_parts))
+        self._trace_deltas.append(trace_delta.coalesce(n_parts))
+        self._lineage_deltas.append(lineage_delta.coalesce(8))
         self._round = r
         self._max_seq = max_seq + n_new
         self._trace_count = prev_total + n_deq
@@ -614,10 +818,11 @@ class CrawlEngine:
             tick("snapshot_commit")
         else:
             # truncate lineage of the tables every round consumes
-            # (frontier/seen/bloom feed the next dequeue + dedup;
-            # extracted feeds the next raw-link merge). trace/lineage are
-            # only read at commit time — leave them as lazy union chains.
-            # The four checkpoints are independent jobs — run them
+            # (queue/seen/bloom feed the next dequeue + dedup;
+            # extracted feeds the next raw-link merge). The append-only
+            # delta lists are only read at commit time — leave them as
+            # lazy views over this round's caches.
+            # The checkpoints are independent jobs — run them
             # concurrently so the driver pays one barrier, not four.
             # NOTE: the eager materialization is load-bearing, not just a
             # cache policy — round state MUST sever lineage every round.
@@ -626,7 +831,7 @@ class CrawlEngine:
             # tree ~5× (rest/ext/new all read the prior frontier), so
             # plan size — and the plan-description walk every action
             # performs — grows 5^rounds.
-            keys = ("frontier", "seen", "bloom", "extracted")
+            keys = ("queue", "seen", "bloom", "extracted")
 
             def _materialize(k: str):
                 t = time.time()

@@ -52,6 +52,11 @@ class CrawlResult:
     trace: list[dict] = field(default_factory=list)  # dequeue_seq, round, url, host, kind
     entries: dict[str, Entry] = field(default_factory=dict)
     extracted: dict[str, dict] = field(default_factory=dict)  # detail url → fields
+    # accumulated download_url → raw link (reference semantics: the
+    # reference re-fetches the download page for EVERY row, so every
+    # row sharing a download_url carries the link — the engine fetches
+    # once and joins this map; selenium_scraper.py:280-345)
+    raw_links: dict[str, str] = field(default_factory=dict)
 
     @property
     def seen(self) -> set[str]:
@@ -102,7 +107,10 @@ def _fetch_and_extract(g: _GoldenGraph, e: Entry, res: CrawlResult, next_seq: in
                 download_url=f["download_url"],
                 image_url=f["image_url"],
                 tags=f["tags"],
-                raw_download_link="",  # filled when the download page is fetched
+                # filled when the download page is fetched; if another
+                # parent's copy of the same download page was already
+                # fetched, the link is known immediately
+                raw_download_link=res.raw_links.get(f["download_url"], ""),
             )
         for _pos, href, kind in g.outlinks.get(e.url, []):
             if href in res.entries:  # exact raw-string dedup (F1)
@@ -117,11 +125,14 @@ def _fetch_and_extract(g: _GoldenGraph, e: Entry, res: CrawlResult, next_seq: in
             )
             next_seq += 1
     elif e.kind == "download":
+        # the raw link is a property of the download PAGE; every
+        # extracted row whose download_url is this page gets it
         parent = e.parent_url
-        if parent in res.extracted:
-            res.extracted[parent]["raw_download_link"] = g.fields[parent][
-                "raw_download_link"
-            ]
+        raw = g.fields[parent]["raw_download_link"] if parent in g.fields else ""
+        res.raw_links[e.url] = raw
+        for rec in res.extracted.values():
+            if rec["download_url"] == e.url:
+                rec["raw_download_link"] = raw
     return next_seq
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.extract import FIELD_SEP, extract_detail_udf
+from .operators.frontier import with_global_rank
 from .operators.preprocess import (
     ALLOWED_SUFFIXES,
     SIZE_CAP,
@@ -173,9 +174,11 @@ def suffix_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = _artifacts(spark, sf_dir).filter(F.col("raw_download_link").isNotNull())
     s = art.select(suffix_of(basename_from_url("raw_download_link")).alias("suffix"))
     counts = s.groupBy("suffix").agg(F.count(F.lit(1)).alias("n"))
-    return counts.select(
-        "suffix",
-        F.round(F.col("n") * 100.0 / F.sum("n").over(Window.partitionBy()), 4).alias("pct"),
+    # scalar total via a 1-row cross join — no global (unpartitioned)
+    # aggregate window, so nothing funnels through a single partition
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return counts.crossJoin(total).select(
+        "suffix", F.round(F.col("n") * 100.0 / F.col("_tot"), 4).alias("pct")
     )
 
 
@@ -211,11 +214,12 @@ def tag_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 — value_counts().head(30)[1:] (preprocess.py:166-170)."""
     freq = tag_frequency(spark, sf_dir)
-    w = Window.orderBy(F.col("n").desc(), F.col("tag"))
+    # two-phase distributed rank — post-aggregation cardinality is small
+    # but nothing should funnel through a single-partition window
+    ranked = with_global_rank(freq, [F.col("n").desc(), F.col("tag")], out="rank")
     return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") > 1) & (F.col("rank") <= 30))
-        .select("tag", "n", "rank")
+        ranked.filter((F.col("rank") > 1) & (F.col("rank") <= 30))
+        .select("tag", "n", F.col("rank").cast("int").alias("rank"))
     )
 
 
@@ -273,13 +277,12 @@ def outlier_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — most-common value with a deterministic tie-break."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(F.col("n").desc(), F.col("l_returnflag"))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("l_returnflag").alias("mode_flag"))
+    freq = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    ranked = with_global_rank(
+        freq, [F.col("n").desc(), F.col("l_returnflag")], out="rn"
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("l_returnflag").alias("mode_flag")
     )
 
 
@@ -810,6 +813,166 @@ def voxel_region_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d - 4).cast("int").alias("x"), (d * 3 - 10).cast("int").alias("z")
     )
     return df.withColumn("fn", region_filename("x", "z"))
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+    ), docs AS (
+        SELECT id, text FROM base
+        UNION ALL
+        SELECT id + 100000, text || ' near duplicate suffix marker' FROM base
+    ), toks AS (
+        SELECT id, string_split(text, ' ') AS t FROM docs
+    ), idx AS (
+        SELECT id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        FROM toks
+    ), grams AS (
+        SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS gram FROM idx
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM grams GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 5) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (training-data dedup op),
+    oracle-checked against a full relational DuckDB reimplementation.
+
+    The synthetic corpus has no natural near-dups (max pairwise Jaccard
+    ≈ 0.02), so the query PLANTS one deterministic near-duplicate per
+    sliced doc (id+100000, text + a 4-token suffix): the expected result
+    is exactly the (orig, copy) pairs — a 0-row result would mean the
+    operator lost recall (round-1's rows-only check was vacuous at 0
+    rows)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = base.select(F.col("doc_id"), "text").unionByName(
+        base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate suffix marker")).alias("text"),
+        )
+    )
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+@_q(
+    "head_probe_sizes",
+    """
+    WITH artifacts AS (
+        SELECT 'https://static.planetminecraft.com/files/b' || CAST(doc_id AS VARCHAR)
+                   || '.zip' AS aurl,
+               octet_length(encode(text)) AS asize
+        FROM documents
+    ), projects AS (
+        SELECT 'https://h' || CAST(doc_id % 16 AS VARCHAR)
+                   || '.planetminecraft.com/project/b' || CAST(doc_id AS VARCHAR)
+                   || '/' AS url,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'https://static.planetminecraft.com/files/b'
+                             || CAST(doc_id AS VARCHAR) || '.missing'
+                    ELSE 'https://static.planetminecraft.com/files/b'
+                             || CAST(doc_id AS VARCHAR) || '.zip'
+               END AS raw_download_link
+        FROM documents WHERE doc_id % 3 != 2
+    )
+    SELECT p.url, p.raw_download_link, a.asize AS download_size
+    FROM projects p
+    LEFT JOIN artifacts a ON a.aurl = p.raw_download_link
+    WHERE a.asize <= 306
+    """,
+)
+def head_probe_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + F4 — HEAD probe PRODUCING download_size (metadata-only
+    fetch: Content-Length analog = length(html), body never moves —
+    selenium_scraper.py:520-573) followed by the 50 MB-cap filter shape
+    (preprocess.py:52) consuming the probed column. Rows probing a
+    missing artifact get NULL size (reference leaves NaN) and are
+    dropped by the cap predicate, as in the reference pipeline."""
+    from .sources.fetch import TableFetcher
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw_base = F.concat(
+        F.lit("https://static.planetminecraft.com/files/b"), d.cast("string")
+    )
+    artifacts = docs.select(
+        F.concat(raw_base, F.lit(".zip")).alias("url"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    projects = docs.filter(d % 3 != 2).select(
+        F.concat(
+            F.lit("https://h"), (d % 16).cast("string"),
+            F.lit(".planetminecraft.com/project/b"), d.cast("string"), F.lit("/"),
+        ).alias("url"),
+        F.when(d % 7 == 0, F.concat(raw_base, F.lit(".missing")))
+        .otherwise(F.concat(raw_base, F.lit(".zip")))
+        .alias("raw_download_link"),
+    )
+    probed = TableFetcher(artifacts).head(projects, url_col="raw_download_link")
+    return probed.filter(F.col("download_size") <= 306).select(
+        "url", "raw_download_link", "download_size"
+    )
+
+
+@_q(
+    "inhabited_region_gates",
+    """
+    WITH chunks AS (
+        SELECT event_id % 50 AS region_id,
+               CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE CAST(floor(value * 10) AS BIGINT) END AS inhabited_time
+        FROM events
+    ), kept AS (
+        SELECT * FROM chunks
+        WHERE inhabited_time IS NULL OR inhabited_time >= 30
+    ), universe AS (
+        SELECT range AS region_id FROM range(80)
+    ), counts AS (
+        SELECT region_id, count(*) AS n FROM kept GROUP BY region_id
+    )
+    SELECT u.region_id, coalesce(n, 0) AS n_chunks
+    FROM universe u LEFT JOIN counts USING (region_id)
+    WHERE coalesce(n, 0) > 0
+    """,
+)
+def inhabited_region_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 + F11 — the InhabitedTime chunk gate (keep visited chunks or
+    chunks lacking the field — world2vec.py:141-144,176-194; at scan
+    time this is a zone-map/row-group skip) followed by the
+    empty-region guard (world2vec.py:150-151) over a synthetic
+    chunk/region layout derived from the events table. Regions 50-79
+    exist in the universe but hold no chunks — F11 drops them."""
+    from .operators.voxel import inhabited_gate, nonempty_region_gate
+
+    ev = _t(spark, sf_dir, "events")
+    chunks = ev.select(
+        (F.col("event_id") % 50).alias("region_id"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("value") * 10).cast("long"))
+        .alias("inhabited_time"),
+    )
+    kept = inhabited_gate(chunks)
+    universe = spark.range(80).select(F.col("id").alias("region_id"))
+    counts = kept.groupBy("region_id").agg(F.count(F.lit(1)).alias("n"))
+    regions = universe.join(counts, "region_id", "left").select(
+        "region_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_chunks")
+    )
+    return nonempty_region_gate(regions)
 
 
 def register_all() -> tuple[dict, dict]:

@@ -47,6 +47,22 @@ class TableFetcher:
         upstream via anti-join, as in plans/crawl.py)."""
         return self.pages.join(F.broadcast(dequeued), "url")
 
+    def head(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
+        """S6 HEAD probe, replay form: metadata-only fetch — emit
+        ``download_size`` (Content-Length) per candidate url WITHOUT
+        transferring the body (reference:
+        scraper/selenium_scraper.py:520-573, which HEAD-probes every
+        RAW_DOWNLOAD_LINK into DOWNLOAD_SIZE). Here the size is
+        ``length(html)`` from the artifacts table; the binary column
+        never crosses to Python and never joins through — Catalyst
+        prunes it to a length scan. Misses → NULL size (the reference
+        leaves NaN on failed probes)."""
+        sizes = self.pages.select(
+            F.col("url").alias(url_col),
+            F.length("html").cast("long").alias("download_size"),
+        )
+        return candidates.join(sizes, url_col, "left")
+
 
 class HttpFetcher:
     """Production fetch: HTTP GET per dequeued URL inside mapInPandas.
@@ -106,3 +122,38 @@ class HttpFetcher:
                 yield pd.DataFrame(rows, columns=["url", "html", "fetch_ms", "error"])
 
         return dequeued.select("url").mapInPandas(run, FETCH_OUTPUT_SCHEMA)
+
+    def head(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
+        """S6 HEAD probe, production form: HTTP HEAD per url inside
+        mapInPandas — Content-Length only, no body transfer
+        (selenium_scraper.py:520-573). Per-row error isolation (X4):
+        a failed probe yields download_size=NULL."""
+        timeout_s = self.timeout_s
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            try:
+                import requests  # gated: not needed in replay mode
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "HttpFetcher.head requires 'requests' at executor "
+                    "runtime; use TableFetcher.head for replay workloads"
+                ) from e
+
+            session = requests.Session()
+            for pdf in batches:
+                sizes = []
+                for u in pdf[url_col]:
+                    try:
+                        resp = session.head(u, timeout=timeout_s, allow_redirects=True)
+                        cl = resp.headers.get("Content-Length")
+                        sizes.append(int(cl) if cl is not None else None)
+                    except Exception:
+                        sizes.append(None)
+                out = pdf.copy()
+                out["download_size"] = pd.array(sizes, dtype="Int64")
+                yield out
+
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+        ) + ", download_size long"
+        return candidates.mapInPandas(run, out_schema)

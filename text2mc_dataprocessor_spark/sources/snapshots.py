@@ -83,6 +83,78 @@ class SnapshotTable:
             f.write(str(version))
         os.replace(head_tmp, os.path.join(self.dir, "HEAD"))
 
+    # -- incremental commits --------------------------------------------------
+    # Iceberg-manifest-style append: a version may carry, besides its
+    # (rewritten) main data dir, a HISTORY list of immutable data dirs
+    # inherited from the parent version plus this commit's delta. Only
+    # the delta is written; every inherited dir is byte-reused across
+    # versions — the fix for "full-table rewrite per checkpoint" on
+    # monotonically growing tables (trace, lineage, seen, crawl 'done'
+    # history) at 10^10-row scale. ``read`` unions main + history, and
+    # VERSION AS OF / rollback semantics are unchanged (manifests are
+    # immutable and self-contained).
+
+    def commit_with_history(self, main_df: DataFrame | None,
+                            delta_df: DataFrame | None,
+                            meta: dict[str, Any] | None = None,
+                            version: int | None = None,
+                            publish: bool = True) -> int:
+        """Write ``main_df`` (or reuse the parent's main dir if None)
+        plus an appended ``delta_df`` history segment (if not None)."""
+        if version is None:
+            parent = self.current_version()
+            version = (parent or 0) + 1
+        else:
+            parent = version - 1 if version > 1 else None
+        parent_manifest = self.manifest(parent) if parent else None
+        history = list(parent_manifest.get("history", [])) if parent_manifest else []
+        token = uuid.uuid4().hex[:8]
+        if main_df is not None:
+            data_path = os.path.join(self.dir, "data", f"v{version}-{token}")
+            main_df.write.mode("errorifexists").parquet(data_path)
+        else:
+            if parent_manifest is None:
+                raise ValueError("first commit needs a main DataFrame")
+            data_path = parent_manifest["path"]  # byte-reused
+        if delta_df is not None:
+            delta_path = os.path.join(self.dir, "data", f"v{version}-{token}-delta")
+            delta_df.write.mode("errorifexists").parquet(delta_path)
+            history.append(delta_path)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "path": data_path,
+            "history": history,
+            "meta": meta or {},
+        }
+        mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        if publish:
+            self.publish_version(version)
+        return version
+
+    def commit_append(self, delta_df: DataFrame | None,
+                      meta: dict[str, Any] | None = None,
+                      version: int | None = None,
+                      publish: bool = True) -> int:
+        """Append-only commit: parent's data dirs are all byte-reused;
+        only the delta is written."""
+        return self.commit_with_history(None, delta_df, meta, version, publish)
+
+    def read_main(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Only the main (rewritten) part of a snapshot."""
+        return spark.read.parquet(self.manifest(version)["path"])
+
+    def read_history(self, spark: SparkSession,
+                     version: int | None = None) -> DataFrame | None:
+        """Only the appended history segments (None if there are none)."""
+        paths = self.manifest(version).get("history", [])
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
     # -- read ---------------------------------------------------------------
     def current_version(self) -> int | None:
         head = os.path.join(self.dir, "HEAD")
@@ -99,8 +171,10 @@ class SnapshotTable:
             return json.load(f)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """VERSION AS OF ``version`` (default: latest)."""
-        return spark.read.parquet(self.manifest(version)["path"])
+        """VERSION AS OF ``version`` (default: latest) — main ∪ history."""
+        m = self.manifest(version)
+        paths = [m["path"]] + list(m.get("history", []))
+        return spark.read.parquet(*paths)
 
     def versions(self) -> list[int]:
         out = []
