@@ -150,3 +150,20 @@ def top_tags(df: DataFrame, tags_col: str = "tags", k: int = 30) -> DataFrame:
         ranked.filter((F.col("rank") > 1) & (F.col("rank") <= k))
         .select("tag", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def top_suffixes(df: DataFrame, suffix_col: str = "suffix", k: int = 9) -> DataFrame:
+    """T6 — ``file_type_counts[0:9]`` (preprocess.py:93): top-k suffixes
+    by count, #1 KEPT (unlike T5's drop-first). Ties broken by suffix for
+    determinism. Same two-phase distributed rank as T5 — counts are one
+    map-side partial agg over the suffix column, the rank never funnels
+    through a single partition."""
+    from .frontier import with_global_rank
+
+    counts = df.groupBy(suffix_col).agg(F.count(F.lit(1)).alias("n"))
+    ranked = with_global_rank(
+        counts, [F.col("n").desc(), F.col(suffix_col)], out="rank"
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        suffix_col, "n", F.col("rank").cast("int").alias("rank")
+    )

@@ -224,6 +224,30 @@ def frequency_subsample(df: DataFrame, t: float = 1e-3, seed: int = 17) -> DataF
     )
 
 
+# -- A10: distinct label set / U2: region set-union ---------------------------------
+
+def distinct_labels(df: DataFrame, label_col: str = "label",
+                    noise: int = -1) -> DataFrame:
+    """A10 — ``set(labels)`` minus the DBSCAN noise label
+    (world2vec/world2vec.py:316-322). Map-side partial distinct; one
+    shuffle on the (tiny) label domain."""
+    return df.filter(F.col(label_col) != noise).select(label_col).distinct()
+
+
+def region_set_union(*dfs: DataFrame, col: str = "region_file") -> DataFrame:
+    """U2 — set-union of region-file memberships accumulated across
+    passes (world2vec/world2vec.py:240-299,347-357). union is a zero
+    -shuffle concat of scans; the single shuffle is the final distinct
+    on the region-filename domain (bounded: one row per 512×512 region,
+    ~10^5 even at continent scale)."""
+    if not dfs:
+        raise ValueError("region_set_union needs at least one input")
+    out = dfs[0].select(col)
+    for d in dfs[1:]:
+        out = out.unionByName(d.select(col))
+    return out.distinct()
+
+
 # -- deterministic synthetic build ------------------------------------------------------
 
 _VOCAB = [

@@ -975,5 +975,117 @@ def inhabited_region_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nonempty_region_gate(regions)
 
 
+@_q(
+    "top_suffixes",
+    f"""
+    WITH art AS ({_ARTIFACTS_SQL}),
+    s AS (SELECT CASE WHEN regexp_extract((string_split(raw_download_link,'/'))[-1],
+                       '(\\.[^./\\\\]+)$', 1) = '' THEN ''
+                 ELSE regexp_extract((string_split(raw_download_link,'/'))[-1],
+                       '(\\.[^./\\\\]+)$', 1) END AS suffix
+          FROM art WHERE raw_download_link IS NOT NULL),
+    c AS (SELECT suffix, COUNT(*) AS n FROM s GROUP BY suffix)
+    SELECT suffix, n, rank FROM (
+      SELECT suffix, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, suffix) AS INT) AS rank
+      FROM c
+    ) WHERE rank <= 9
+    """,
+)
+def top_suffixes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — file_type_counts[0:9] (preprocess.py:93), #1 kept."""
+    from .operators.preprocess import top_suffixes
+
+    art = _artifacts(spark, sf_dir).filter(F.col("raw_download_link").isNotNull())
+    s = art.select(suffix_of(basename_from_url("raw_download_link")).alias("suffix"))
+    return top_suffixes(s, k=9)
+
+
+@_q(
+    "distinct_label_set",
+    """
+    SELECT DISTINCT (l_orderkey % 11) - 1 AS label
+    FROM lineitem
+    WHERE (l_orderkey % 11) - 1 != -1
+    """,
+)
+def distinct_label_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — set(labels) minus DBSCAN noise (world2vec.py:316-322) over
+    synthetic cluster labels derived from lineitem."""
+    from .operators.voxel import distinct_labels
+
+    li = _t(spark, sf_dir, "lineitem")
+    labels = li.select(((F.col("l_orderkey") % 11) - 1).alias("label"))
+    return distinct_labels(labels)
+
+
+@_q(
+    "region_set_union",
+    """
+    WITH a AS (
+      SELECT printf('r.%d.%d.mca',
+                    CAST(o_orderkey % 7 - 3 AS INT),
+                    CAST(o_orderkey % 5 - 2 AS INT)) AS region_file
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b AS (
+      SELECT printf('r.%d.%d.mca',
+                    CAST(o_orderkey % 7 - 3 AS INT),
+                    CAST(o_orderkey % 5 - 2 AS INT)) AS region_file
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT DISTINCT region_file FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    """,
+)
+def region_set_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — set-union of region-file memberships accumulated by two
+    passes (world2vec.py:240-299,347-357)."""
+    from .operators.voxel import region_filename, region_set_union
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    fn = region_filename(
+        (k % 7 - 3).cast("int"), (k % 5 - 2).cast("int")
+    ).alias("region_file")
+    a = orders.filter(k % 2 == 0).select(fn)
+    b = orders.filter(k % 3 == 0).select(fn)
+    return region_set_union(a, b)
+
+
+@_q(
+    "bulk_download_sizes",
+    f"""
+    WITH art AS ({_ARTIFACTS_SQL})
+    SELECT raw_download_link AS url, 5 + (doc_id % 97) AS nbytes
+    FROM art WHERE raw_download_link IS NOT NULL
+    """,
+)
+def bulk_download_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — bulk download driver (download_all_builds,
+    selenium_scraper.py:502-518) in replay form: artifacts' resolved raw
+    links fetched against a synthetic pages corpus whose body length is
+    a deterministic function of doc_id; the driver filters, dedups,
+    host-partitions, and fetches — the oracle computes the expected
+    (url, body size) pairs directly from the generating arithmetic."""
+    from .operators.preprocess import SIZE_CAP  # noqa: F401 (doc link)
+    from .sources.fetch import TableFetcher, download_all_builds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _SUFFIX_LIST]), (d % 7).cast("int") + 1
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://static.planetminecraft.com/files/b"),
+            d.cast("string"), suffix,
+        ).alias("url"),
+        F.concat(
+            F.lit("BODY:"), F.repeat(F.lit("x"), (d % 97).cast("int"))
+        ).alias("html"),
+    )
+    art = _artifacts(spark, sf_dir)
+    fetched = download_all_builds(art, TableFetcher(pages))
+    return fetched.select("url", F.length("html").cast("long").alias("nbytes"))
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)

@@ -36,6 +36,39 @@ from pyspark.sql import functions as F
 FETCH_OUTPUT_SCHEMA = "url string, html binary, fetch_ms long, error string"
 
 
+def host_of(url) -> "F.Column":
+    """scheme://HOST/... → host (empty string when the url has no scheme)."""
+    return F.regexp_extract(url, r"^[A-Za-z][\w+.-]*://([^/]+)", 1)
+
+
+def download_all_builds(df: DataFrame, fetcher,
+                        link_col: str = "raw_download_link",
+                        host_partitions: int = 64) -> DataFrame:
+    """S7 — bulk download driver (reference ``download_all_builds()``,
+    scraper/selenium_scraper.py:502-518: iterate rows, GET each
+    RAW_DOWNLOAD_LINK).
+
+    Spark form: filter rows with a resolved raw link (F3), dedup per
+    link (the reference re-downloads duplicates; one GET per distinct
+    artifact is strictly cheaper and byte-identical), hash-partition by
+    host so each task owns whole hosts — per-host crawl delays then
+    serialize *within* a task (HttpFetcher applies them) while tasks
+    run in parallel across hosts — and fetch. Works with either fetcher;
+    TableFetcher (replay) broadcasts the candidate list so the
+    repartition is a no-op there.
+
+    Returns the fetcher's output: url + html (+ fetch_ms/error for the
+    HTTP path).
+    """
+    cand = (
+        df.filter(F.col(link_col).isNotNull() & (F.col(link_col) != ""))
+        .select(F.col(link_col).alias("url"))
+        .distinct()
+        .repartition(host_partitions, host_of(F.col("url")))
+    )
+    return fetcher.fetch(cand)
+
+
 class TableFetcher:
     """Replay fetch: look up html in a pages table (broadcast join)."""
 
