@@ -25,6 +25,7 @@ or any other source:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,6 +96,66 @@ def token_lookup(df: DataFrame, block2tok: dict[str, int],
     return df.withColumn(
         out, F.coalesce(F.element_at(m, F.col(block_col)), F.lit(default))
     )
+
+
+# -- P13: fuzzy blockstate match ----------------------------------------------------
+
+def find_closest_state(query_states: list[str], options) -> str | None:
+    """Reference ``find_closest_match`` (world2vec_testrunner.py:34-49):
+    score each candidate key by |shared whole-state strings| (candidate
+    split on ','), strictly-greater comparison keeps the FIRST best in
+    iteration order, zero overlap → None. Pure function; the Spark wrap
+    is ``fuzzy_token_lookup``."""
+    qw = set(query_states)
+    best, mx = None, 0
+    for opt in options:
+        m = len(qw & set(opt.split(",")))
+        if m > mx:
+            best, mx = opt, m
+    return best
+
+
+def fuzzy_token_lookup(df: DataFrame, block2tok: dict,
+                       block_col: str = "block", out: str = "tok",
+                       niv_tok: int = 4000) -> DataFrame:
+    """P13 — token lookup with fuzzy blockstate resolution
+    (world2vec_testrunner.py:34-49,73-80 + world2vecDriver.py:225-241).
+
+    ``block2tok`` values are either ints (direct) or dicts keyed by
+    comma-joined state strings. Per blockname ``name[s1,s2,…]``:
+    missing name → NIV_TOK (4000); dict value → fuzzy-match states
+    against its keys, no overlap → FIRST key (reference default branch);
+    direct value → itself.
+
+    Scale shape: the Python matcher runs only on the DISTINCT block
+    -state domain (bounded vocabulary, ~10³-10⁴ strings even at corpus
+    scale — not per voxel), then a broadcast equi-join fans the tokens
+    back onto the block table. The dict ships once in the UDF closure.
+    """
+
+    def _tok_one(s: str) -> int:
+        name, states = s, []
+        if "[" in s:
+            # reference parse: replace('[', ','), strip ']', split(',')
+            parts = s.replace("[", ",").replace("]", "").split(",")
+            name, states = parts[0], parts[1:]
+        v = block2tok.get(name)
+        if v is None:
+            return niv_tok
+        if isinstance(v, dict):
+            m = find_closest_state(states, v.keys())
+            if m is None:
+                m = next(iter(v.keys()))  # reference default: first key
+            return int(v[m])
+        return int(v)
+
+    @F.pandas_udf("int")
+    def tok_udf(col: pd.Series) -> pd.Series:
+        return col.map(_tok_one).astype("int32")
+
+    distinct = df.select(F.col(block_col).alias(block_col)).distinct()
+    mapped = distinct.withColumn(out, tok_udf(F.col(block_col)))
+    return df.join(F.broadcast(mapped), block_col, "left")
 
 
 # -- F8/F9: qualification filters --------------------------------------------------

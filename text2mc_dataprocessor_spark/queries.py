@@ -1087,5 +1087,258 @@ def bulk_download_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetched.select("url", F.length("html").cast("long").alias("nbytes"))
 
 
+@_q(
+    "archive_new_filenames",
+    """
+    WITH rows AS (
+      SELECT doc_id,
+             'b' || CAST(doc_id AS VARCHAR)
+               || list_extract(['.zip','.rar','.schem','.schematic'],
+                               CAST(doc_id % 4 AS INT) + 1) AS filename,
+             doc_id % 13 != 0 AS ok
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, filename,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS j
+      FROM rows WHERE ok
+    )
+    SELECT r.doc_id, r.filename,
+           CASE WHEN NOT r.ok THEN NULL
+                WHEN r.filename LIKE '%.zip' OR r.filename LIKE '%.rar'
+                  THEN 'build-' || CAST(k.j AS VARCHAR)
+                ELSE 'build-' || CAST(k.j AS VARCHAR) || '.'
+                     || regexp_extract(r.filename, '(\\.[^./\\\\]+)$', 1)
+           END AS new_filename
+    FROM rows r LEFT JOIN ranked k USING (doc_id)
+    """,
+)
+def archive_new_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the unzip-and-move NEW_FILENAME pass
+    (scraper/unzip_and_move_build_files.py): sequential j counter as a
+    distributed rank over successful rows, error rows skip the counter,
+    non-archive moves keep the reference's literal double dot."""
+    from .sources.archive import assign_new_filenames
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in [".zip", ".rar", ".schem", ".schematic"]]),
+        (d % 4).cast("int") + 1,
+    )
+    rows = docs.select(
+        d.alias("row_idx"),
+        F.concat(F.lit("b"), d.cast("string"), suffix).alias("filename"),
+        (d % 13 != 0).alias("ok"),
+    )
+    named = assign_new_filenames(rows, ok_col="ok")
+    return named.select(
+        F.col("row_idx").alias("doc_id"), "filename", "new_filename"
+    )
+
+
+#: P13 driver-query vocabulary — dict values exercise the fuzzy path.
+_FUZZY_VOCAB = {
+    "minecraft:stone": 1,
+    "minecraft:brick_stairs": {
+        "facing=north,half=top": 10,
+        "facing=south,half=bottom": 11,
+    },
+}
+
+
+@_q(
+    "fuzzy_blockstate_tokens",
+    """
+    SELECT doc_id, block,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 1     -- direct hit
+             WHEN 1 THEN 10    -- facing=north -> first key wins
+             WHEN 2 THEN 11    -- half=bottom  -> second key
+             WHEN 3 THEN 10    -- no overlap   -> default first key
+             ELSE 4000         -- OOV -> NIV_TOK
+           END AS tok
+    FROM (
+      SELECT doc_id,
+             list_extract(['minecraft:stone',
+                           'minecraft:brick_stairs[facing=north]',
+                           'minecraft:brick_stairs[half=bottom]',
+                           'minecraft:brick_stairs[shape=straight]',
+                           'modded:widget'],
+                          CAST(doc_id % 5 AS INT) + 1) AS block
+      FROM documents)
+    """,
+)
+def fuzzy_blockstate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — the real fuzzy matcher (find_closest_state, reference
+    world2vec_testrunner.py:34-80) runs on Spark; the oracle states the
+    known match outcome per generated blockstate combo."""
+    from .operators.voxel import fuzzy_token_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    block = F.element_at(
+        F.array(*[F.lit(s) for s in [
+            "minecraft:stone",
+            "minecraft:brick_stairs[facing=north]",
+            "minecraft:brick_stairs[half=bottom]",
+            "minecraft:brick_stairs[shape=straight]",
+            "modded:widget",
+        ]]),
+        (d % 5).cast("int") + 1,
+    )
+    rows = docs.select(d.alias("doc_id"), block.alias("block"))
+    return fuzzy_token_lookup(rows, _FUZZY_VOCAB).select("doc_id", "block", "tok")
+
+
+#: S12 driver-query palette (order matters: ids are positional).
+_SCHEM_PALETTE = [
+    "minecraft:air",
+    "minecraft:stone",
+    "minecraft:brick_stairs[facing=north,half=top]",
+]
+
+
+@_q(
+    "schem_decode_blocks",
+    """
+    SELECT doc_id, CAST(i % 2 AS INT) AS x, CAST(0 AS INT) AS y,
+           CAST(i // 2 AS INT) AS z,
+           list_extract(['minecraft:air', 'minecraft:stone',
+                         'minecraft:brick_stairs[facing=north,half=top]'],
+                        CAST((doc_id + i) % 3 AS INT) + 1) AS block
+    FROM (SELECT doc_id, unnest(generate_series(0, 3)) AS i FROM documents)
+    """,
+)
+def schem_decode_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — Sponge .schem decode (gzip → NBT → varint → YZX grid,
+    sources/schem.py) replacing the reference's schematic4j Java sidecar
+    (SchematicHandler.java:19, FileHandler.java:38-50). Fixture blobs
+    are ENCODED in executors (mapInPandas, no driver collect) with cell
+    ids (doc_id + i) % 3 over a 2×1×2 grid; Spark must round-trip the
+    real binary format while the oracle states the generating
+    arithmetic directly."""
+    import pandas as pd
+
+    from .sources.schem import encode_schem, schem_blocks
+
+    palette = {name: pid for pid, name in enumerate(_SCHEM_PALETTE)}
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = [
+                encode_schem(2, 1, 2, palette,
+                             [(int(d) + i) % 3 for i in range(4)])
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"row_idx": pdf["doc_id"], "content": blobs})
+
+    # the parquet is one file at small sf — spread the Python encode/
+    # decode stage across cores (a shuffle of bare doc_ids, ~nothing)
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    blobs = docs.mapInPandas(gen, "row_idx long, content binary")
+    blocks = schem_blocks(blobs)
+    return blocks.filter(F.col("error").isNull()).select(
+        F.col("row_idx").alias("doc_id"), "x", "y", "z", "block"
+    )
+
+
+@_q(
+    "mca_inhabited_chunks",
+    """
+    SELECT doc_id, CAST(i AS INT) AS cx, CAST(0 AS INT) AS cz,
+           inhabited_time
+    FROM (
+      SELECT doc_id, i,
+             CASE CAST(i AS INT)
+               WHEN 0 THEN (doc_id * 7) % 60
+               WHEN 1 THEN (doc_id * 13) % 60
+               ELSE NULL END AS inhabited_time
+      FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS i
+            FROM documents)
+    )
+    WHERE inhabited_time IS NULL OR inhabited_time >= 30
+    """,
+)
+def mca_inhabited_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 + F10 — .mca region decode (header sectors → zlib chunk NBT →
+    InhabitedTime in the reference's Level-then-root lookup order,
+    sources/mca.py; world2vec.py:147-194) feeding the inhabited gate.
+    Three chunks per synthetic region: modern root InhabitedTime,
+    legacy Level.InhabitedTime, and field-absent (NULL → kept). Blobs
+    are encoded in executors; the oracle states the arithmetic."""
+    import pandas as pd
+
+    from .functions import nbt as nbt_mod
+    from .operators.voxel import inhabited_gate
+    from .sources.mca import encode_region, mca_chunks
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blobs.append(encode_region({
+                    (0, 0): nbt_mod.Compound({
+                        "DataVersion": nbt_mod.Int(3120),
+                        "InhabitedTime": nbt_mod.Long((d * 7) % 60),
+                    }),
+                    (1, 0): nbt_mod.Compound({
+                        "Level": nbt_mod.Compound({
+                            "InhabitedTime": nbt_mod.Long((d * 13) % 60),
+                        }),
+                    }),
+                    (2, 0): nbt_mod.Compound({
+                        "DataVersion": nbt_mod.Int(3120),
+                    }),
+                }))
+            yield pd.DataFrame({"row_idx": pdf["doc_id"], "content": blobs})
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    blobs = docs.mapInPandas(gen, "row_idx long, content binary")
+    chunks = mca_chunks(blobs).filter(F.col("error").isNull())
+    kept = inhabited_gate(chunks, col="inhabited_time")
+    return kept.select(
+        F.col("row_idx").alias("doc_id"), "cx", "cz", "inhabited_time"
+    )
+
+
+@_q(
+    "dbscan_cluster_extents",
+    """
+    SELECT (doc_id % 3) AS label,
+           CAST(MIN((doc_id % 3) * 100 + doc_id % 5) AS INT) AS low_x,
+           CAST(MAX((doc_id % 3) * 100 + doc_id % 5) AS INT) AS high_x,
+           CAST(MIN((doc_id % 25) // 5) AS INT) AS low_z,
+           CAST(MAX((doc_id % 25) // 5) AS INT) AS high_z
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dbscan_cluster_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 + J4 input — distributed DBSCAN (eps=5, min_samples=5 — the
+    reference's sklearn call, world2vec.py:313) over three dense 5×5
+    blobs 100 apart: every point is core, each blob is one component,
+    and cluster numbering (by min x, min z) equals the blob index, so
+    the full clustering + per-cluster bbox (world2vec.py:341-344) is
+    stated by the generating arithmetic. Spark must run the real
+    grid-cell DBSCAN; the oracle just groups the formula."""
+    from .operators.dbscan import cluster_extents, dbscan_labels
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pts = docs.select(
+        ((d % 3) * 100 + d % 5).cast("int").alias("x"),
+        ((d % 25) / 5).cast("int").alias("z"),
+    )
+    labeled = dbscan_labels(pts, eps=5.0, min_samples=5)
+    return cluster_extents(labeled)
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)
