@@ -77,3 +77,55 @@ def test_partial_aggregation_on_relational_path(spark):
     plan = _plan(lineitem_pricing_summary(spark, SF_DIR))
     assert "partial_sum" in plan  # map-side combine below the Exchange
     assert "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_dbscan_neighbor_search_is_equi_join(spark):
+    """X5: the eps-cell decomposition must plan the neighbor search as a
+    hash/sort equi-join on the cell key — never a cartesian/BNL join —
+    and the distance predicate rides the join, not a product filter."""
+    from text2mc_dataprocessor_spark.operators.dbscan import _neighbor_pairs
+
+    pts = (
+        spark.range(200)
+        .select(
+            (F.col("id") % 20).cast("int").alias("x"),
+            (F.col("id") / 20).cast("int").alias("z"),
+        )
+        .groupBy("x", "z")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("cx", F.floor(F.col("x") / 5.0))
+        .withColumn("cz", F.floor(F.col("z") / 5.0))
+        .withColumn("pid", F.xxhash64("x", "z"))
+    )
+    plan = _plan(_neighbor_pairs(pts, 5.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_lookup_broadcasts_distinct_domain(spark):
+    """P13: the Python matcher output (distinct blockstates) must fan
+    back via a broadcast join; the UDF itself is Arrow-batched."""
+    from text2mc_dataprocessor_spark.operators.voxel import fuzzy_token_lookup
+
+    df = spark.range(100).select(
+        F.concat(F.lit("minecraft:b"), (F.col("id") % 7).cast("string")).alias("block")
+    )
+    plan = _plan(fuzzy_token_lookup(df, {"minecraft:b0": 1}))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_schem_and_mca_sources_are_map_in_pandas(spark):
+    """S9/S12: binary decode stages are Arrow mapInPandas, and the
+    upstream projection reaches the scan (only row_idx + content)."""
+    from text2mc_dataprocessor_spark.sources.mca import mca_chunks
+    from text2mc_dataprocessor_spark.sources.schem import schem_blocks
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), "extra")], "row_idx long, content binary, junk string"
+    )
+    for src in (schem_blocks, mca_chunks):
+        plan = _plan(src(df))
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan

@@ -144,8 +144,10 @@ def dbscan_labels(df: DataFrame, x_col: str = "x", z_col: str = "z",
     )
     from .frontier import with_global_rank
 
+    rank_info: dict = {}
     ranked = with_global_rank(
-        anchors, [F.col("a.x").asc(), F.col("a.z").asc()], out="_rk"
+        anchors, [F.col("a.x").asc(), F.col("a.z").asc()], out="_rk",
+        info=rank_info,
     ).select("label", (F.col("_rk") - 1).cast("long").alias("cluster"))
     out = (
         pts.select("pid", "x", "z")
@@ -160,7 +162,7 @@ def dbscan_labels(df: DataFrame, x_col: str = "x", z_col: str = "z",
     )
     # materialize before releasing the cached intermediates the plan uses
     out = out.localCheckpoint()
-    for c in (pts, pairs, core, edges):
+    for c in (pts, pairs, core, edges, *rank_info.get("persisted", [])):
         c.unpersist()
     return out
 

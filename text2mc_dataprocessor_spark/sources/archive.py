@@ -93,7 +93,8 @@ def unzip_entries(df: DataFrame, bin_col: str = "content",
 
 def assign_new_filenames(df: DataFrame, filename_col: str = "filename",
                          idx_col: str = "row_idx",
-                         ok_col: str | None = None) -> DataFrame:
+                         ok_col: str | None = None,
+                         info: dict | None = None) -> DataFrame:
     """The reference's NEW_FILENAME column, distributed.
 
     ``j`` for a successful row = number of successful rows before it in
@@ -114,7 +115,8 @@ def assign_new_filenames(df: DataFrame, filename_col: str = "filename",
 
     ok = F.lit(True) if ok_col is None else F.col(ok_col)
     good = df.filter(ok)
-    ranked = with_global_rank(good, [F.col(idx_col).asc()], out="_rk")
+    ranked = with_global_rank(good, [F.col(idx_col).asc()], out="_rk",
+                              info=info)
     fname = F.col(filename_col)
     suffix = suffix_of(fname)
     j = (F.col("_rk") - 1).cast("long")
@@ -163,7 +165,8 @@ def unzip_and_move(df: DataFrame, filename_col: str = "filename",
         "_ok", F.coalesce(F.col("_ok"), F.lit(True))
     )
     named = assign_new_filenames(
-        flagged, filename_col=filename_col, idx_col=idx_col, ok_col="_ok"
+        flagged, filename_col=filename_col, idx_col=idx_col, ok_col="_ok",
+        info=info,
     ).drop("_ok")
     good_entries = entries.filter(F.col("error").isNull()).join(
         F.broadcast(
