@@ -65,6 +65,19 @@ def _lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, queries, dim=64, k=5)
 
 
+def _ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: MLlib-kmeans coarse quantizer, n_probe/n_lists scan
+    fraction, exact re-rank. Rows-only here; recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    from pyspark.sql import functions as F
+
+    from text2mc_dataprocessor_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_ivf(emb, queries, k=5, n_lists=8, n_probe=3)
+
+
 def _crawl_round_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl rounds on the deterministic fixture corpus:
     returns the final extracted table (byte-identity asserted in pytest;
@@ -98,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = _minhash_pairs_q
     q["simhash_pairs"] = _simhash_pairs_q
     q["cosine_topk_lsh"] = _lsh_ann_q
+    q["cosine_topk_ivf"] = _ivf_ann_q
     q["crawl_rounds_extracted"] = _crawl_round_q
 
     def with_ship(fn):

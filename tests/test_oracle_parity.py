@@ -62,7 +62,8 @@ def test_entry_smoke(spark):
 def test_rows_only_queries_run(spark):
     """Queries without oracles still run and return stable schemas."""
     qs = entry_mod.queries()
-    for name in ["minhash_lsh_pairs", "simhash_pairs", "cosine_topk_lsh"]:
+    for name in ["minhash_lsh_pairs", "simhash_pairs", "cosine_topk_lsh",
+                 "cosine_topk_ivf"]:
         df = qs[name](spark, SF_DIR)
         assert df.count() >= 0
         assert len(df.columns) >= 3

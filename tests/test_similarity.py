@@ -96,3 +96,56 @@ def test_signature_paths_agree_and_high_dim_plans(spark):
     )
     out = cosine_topk_lsh(bdf, bdf.filter(F.col("vec_id") < 4), dim=512, k=3)
     assert out.count() > 0
+
+
+def test_ivf_recall_and_no_fabrication(spark, emb):
+    from text2mc_dataprocessor_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).toPandas()
+    approx = cosine_topk_ivf(
+        emb, queries, k=5, n_lists=8, n_probe=3, seed=7
+    ).toPandas()
+
+    # every reported similarity is the true cosine (re-rank is exact)
+    merged = approx.merge(exact, on=["qid", "vec_id"],
+                          suffixes=("_a", "_e"), how="inner")
+    np.testing.assert_allclose(merged.cos_sim_a, merged.cos_sim_e, rtol=1e-9)
+
+    # probing 3/8 lists must still find most of the true top-5
+    hits = tot = 0
+    for qid in exact.qid.unique():
+        want = set(exact[exact.qid == qid].vec_id)
+        got = set(approx[approx.qid == qid].vec_id)
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.5, hits / tot
+
+
+def test_ivf_index_reuse_and_partition_shape(spark, emb):
+    """Train once, assign lists, reuse the centroid matrix: list ids
+    cover [0, n_lists) and every corpus vector lands in exactly one
+    list (the bucketing/partition column at rest)."""
+    from text2mc_dataprocessor_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+        with_ivf_list,
+    )
+
+    cents = train_ivf_centroids(emb, n_lists=8, seed=7)
+    assert cents.shape[0] == 8
+    listed = with_ivf_list(emb, cents)
+    n = listed.count()
+    assert n == emb.count()
+    ids = [r.list_id for r in listed.select("list_id").distinct().collect()]
+    assert all(0 <= i < 8 for i in ids)
+    # reuse: passing the matrix skips retraining and is deterministic
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = cosine_topk_ivf(emb, queries, k=5, centroids=cents).toPandas()
+    b = cosine_topk_ivf(emb, queries, k=5, centroids=cents).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["qid", "rank"]).reset_index(drop=True),
+        b.sort_values(["qid", "rank"]).reset_index(drop=True),
+    )
