@@ -88,3 +88,60 @@ def run_available_now_complete(agg_df: DataFrame, checkpoint_dir: str):
     )
     q.awaitTermination()
     return name
+
+
+def stateful_host_budget(pages: DataFrame, budget: int = 1000) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    cumulative per-host fetch accounting across micro-batches — the
+    streaming analog of the crawl loop's per-host politeness budget
+    (the reference burns a per-host budget inside its sequential loop;
+    here the running total lives in the state store, survives restarts
+    via the checkpoint, and is keyed/partitioned by host).
+
+    Emits one row per host per micro-batch: running total, this batch's
+    rows, and whether the budget is exhausted (downstream dequeue can
+    drop or defer over-budget hosts). Update output mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "host string, fetched_total long, batch_rows long, over_budget boolean"
+    )
+    state_schema = "total long"
+
+    def track(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        total += batch
+        state.update((total,))
+        yield pd.DataFrame({
+            "host": [key[0]],
+            "fetched_total": [total],
+            "batch_rows": [batch],
+            "over_budget": [total > budget],
+        })
+
+    keyed = pages.select(
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host")
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now_update(df: DataFrame, checkpoint_dir: str,
+                             name: str = "stream_stateful_out"):
+    """Drain a stateful/update-mode stream to an in-memory sink."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+    return name
