@@ -7,8 +7,6 @@ import io
 import os
 import zipfile
 
-import pytest
-from pyspark.sql import functions as F
 
 from text2mc_dataprocessor_spark.sources.archive import (
     assign_new_filenames,

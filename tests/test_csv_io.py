@@ -6,7 +6,6 @@ quoting, and ``Unnamed: N`` index columns are dropped on every load
 resolved RAW_DOWNLOAD_LINK (selenium_scraper.py:502-518).
 """
 
-import pandas as pd
 from pyspark.sql import functions as F
 
 from text2mc_dataprocessor_spark.sources.csv_io import (

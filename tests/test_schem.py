@@ -4,7 +4,6 @@ blocks() stream gives the reference's JSON exporter)."""
 
 import gzip
 
-import numpy as np
 import pytest
 
 from text2mc_dataprocessor_spark.functions import nbt
