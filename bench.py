@@ -422,6 +422,17 @@ def main() -> None:
     low, high = min(epochs, key=lambda e: e[0]["wall_sec"] + e[1]["wall_sec"])
     ratio = HIGH_EXECUTORS / LOW_EXECUTORS
     efficiency = round(high["urls_per_sec"] / (ratio * low["urls_per_sec"]), 3)
+    # per-epoch diagnostics: the full spread, so the best-epoch choice
+    # is auditable in the recorded JSON
+    epoch_diag = [
+        {
+            "thr_low": lo["urls_per_sec"],
+            "thr_high": hi["urls_per_sec"],
+            "eff": round(hi["urls_per_sec"] / (ratio * lo["urls_per_sec"]), 3),
+            "combined_wall_sec": round(lo["wall_sec"] + hi["wall_sec"], 2),
+        }
+        for lo, hi in epochs
+    ]
     timings = query_suite(CPUS)  # query suite uses all cores (JVM-side ops scale fine)
     crawl_key_low = f"crawl_{LOW_EXECUTORS}exec"
     crawl_key_high = f"crawl_{HIGH_EXECUTORS}exec"
@@ -440,6 +451,7 @@ def main() -> None:
         "urls_per_sec_%dexec" % LOW_EXECUTORS: low["urls_per_sec"],
         "urls_per_sec_%dexec" % HIGH_EXECUTORS: high["urls_per_sec"],
         "scaling_efficiency": efficiency,
+        "scaling_epochs": epoch_diag,
     }
     _write_baseline_md(out, low, high)
     print(json.dumps(out))
