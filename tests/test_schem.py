@@ -111,3 +111,48 @@ def test_gzip_detection():
     palette = {"minecraft:dirt": 0}
     raw = encode_schem(1, 1, 1, palette, [0], compress=False)
     assert decode_schem(gzip.compress(raw))["width"] == 1
+
+
+def test_blocks_to_schem_roundtrip(spark):
+    """Sink → source roundtrip: sparse block rows at arbitrary world
+    coords come back as a rebased dense grid with air fill."""
+    from text2mc_dataprocessor_spark.sources.schem import blocks_to_schem
+
+    rows = [
+        # build 1: two blocks, world coords offset by (10, 5, -3)
+        (1, 10, 5, -3, "minecraft:stone"),
+        (1, 11, 5, -2, "minecraft:brick_stairs[facing=north,half=top]"),
+        # build 2: single block
+        (2, 0, 0, 0, "minecraft:dirt"),
+    ]
+    df = spark.createDataFrame(
+        rows, "build_id long, x int, y int, z int, block string"
+    )
+    blobs = blocks_to_schem(df)
+    got = {r.build_id: r for r in blobs.collect()}
+    assert got[1].error is None
+    assert (got[1].width, got[1].height, got[1].length) == (2, 1, 2)
+    assert got[2].n_blocks == 1
+
+    back = schem_blocks(
+        blobs.selectExpr("build_id AS row_idx", "schem AS content")
+    )
+    cells = {(r.x, r.y, r.z, r.block) for r in back.collect() if r.row_idx == 1}
+    assert cells == {
+        (0, 0, 0, "minecraft:stone"),                              # rebased
+        (1, 0, 1, "minecraft:brick_stairs[facing=north,half=top]"),
+        (1, 0, 0, "minecraft:air"),                                # air fill
+        (0, 0, 1, "minecraft:air"),
+    }
+
+
+def test_blocks_to_schem_bbox_guard(spark):
+    """Two far-apart blocks in one build → error row, not an OOM."""
+    from text2mc_dataprocessor_spark.sources.schem import blocks_to_schem
+
+    df = spark.createDataFrame(
+        [(9, 0, 0, 0, "minecraft:stone"), (9, 100000, 0, 100000, "minecraft:dirt")],
+        "build_id long, x int, y int, z int, block string",
+    )
+    rows = blocks_to_schem(df).collect()
+    assert len(rows) == 1 and rows[0].error is not None and rows[0].schem is None

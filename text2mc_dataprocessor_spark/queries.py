@@ -1340,5 +1340,55 @@ def dbscan_cluster_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_extents(labeled)
 
 
+@_q(
+    "schem_roundtrip_cells",
+    """
+    SELECT doc_id, CAST(i % 2 AS INT) AS x, CAST(0 AS INT) AS y,
+           CAST(i // 2 AS INT) AS z,
+           CASE
+             WHEN i = 0 THEN list_extract(['minecraft:stone', 'minecraft:dirt'],
+                                          CAST(doc_id % 2 AS INT) + 1)
+             WHEN i = 3 THEN 'minecraft:brick_stairs[facing=north,half=top]'
+             ELSE 'minecraft:air'
+           END AS block
+    FROM (SELECT doc_id, unnest(generate_series(0, 3)) AS i FROM documents)
+    """,
+)
+def schem_roundtrip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 sink → source roundtrip through REAL bytes (world2vec.py:
+    396-536 writes each extracted build back as a schematic with
+    coordinates rebased to the cluster origin): two sparse blocks per
+    build at offset world coords run through blocks_to_schem (bbox,
+    air fill, palette, varint pack, gzip) then schem_blocks (the full
+    decode); the oracle states the expected rebased dense grid."""
+    from .sources.schem import blocks_to_schem, schem_blocks
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    d = F.col("doc_id")
+    b1 = docs.select(
+        d.alias("build_id"), F.lit(7).alias("x"), F.lit(3).alias("y"),
+        F.lit(-2).alias("z"),
+        F.element_at(
+            F.array(F.lit("minecraft:stone"), F.lit("minecraft:dirt")),
+            (d % 2).cast("int") + 1,
+        ).alias("block"),
+    )
+    b2 = docs.select(
+        d.alias("build_id"), F.lit(8).alias("x"), F.lit(3).alias("y"),
+        F.lit(-1).alias("z"),
+        F.lit("minecraft:brick_stairs[facing=north,half=top]").alias("block"),
+    )
+    blobs = blocks_to_schem(b1.unionByName(b2))
+    cells = schem_blocks(
+        blobs.selectExpr("build_id AS row_idx", "schem AS content")
+    )
+    return cells.filter(F.col("error").isNull()).select(
+        F.col("row_idx").alias("doc_id"), "x", "y", "z", "block"
+    )
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)

@@ -64,19 +64,29 @@ def decode_varints(data: bytes) -> np.ndarray:
 
 
 def encode_varints(ids) -> bytes:
-    """Inverse of :func:`decode_varints` (fixture/test side)."""
-    out = bytearray()
-    for v in ids:
-        v = int(v)
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    """Inverse of :func:`decode_varints`, numpy-vectorized (it sits on
+    the ``blocks_to_schem`` sink's hot path — one call packs a whole
+    build). Inner loop over byte-width (≤5), never over elements."""
+    a = np.asarray(ids, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    if (a < 0).any() or (a >= (1 << 35)).any():
+        raise ValueError("varint ids must be in [0, 2^35)")
+    n = np.ones(a.size, dtype=np.int64)
+    for t in (7, 14, 21, 28):
+        n += (a >= (1 << t)).astype(np.int64)
+    ends = np.cumsum(n)
+    starts = ends - n
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(5):
+        live = k < n
+        if not live.any():
+            break
+        pos = starts[live] + k
+        byte = ((a[live] >> (7 * k)) & 0x7F).astype(np.uint8)
+        cont = np.where(k < n[live] - 1, 0x80, 0).astype(np.uint8)
+        out[pos] = byte | cont
+    return out.tobytes()
 
 
 def _maybe_decompress(blob: bytes) -> bytes:
@@ -211,3 +221,75 @@ def read_schem_files(spark, path: str) -> DataFrame:
     return blocks.join(
         F.broadcast(keyed.select("row_idx", "path")), "row_idx", "left"
     )
+
+
+SCHEM_BLOB_SCHEMA = (
+    "build_id long, schem binary, width int, height int, length int, "
+    "n_blocks long, error string"
+)
+
+#: refuse to materialize grids that would blow an executor (two stray
+#: far-apart blocks in one build → petacell bbox); ~16M cells ≈ a
+#: 256×256×256 build, far beyond the 50 MB artifact cap upstream.
+MAX_GRID_CELLS = 16_777_216
+
+
+def blocks_to_schem(df: DataFrame, build_col: str = "build_id",
+                    block_col: str = "block") -> DataFrame:
+    """S12 sink — the reference's per-cluster schematic export
+    (world2vec.py:396-536: every extracted build is written back as a
+    schematic with coordinates REBASED to the cluster origin and
+    blockstate properties serialized sorted — the P12 canonical form;
+    the surface-finding y-rebase is the documented out-of-scope part,
+    here y rebases to the build's min y).
+
+    One grouped Arrow batch per build: bbox → dims, absent cells fill
+    with ``minecraft:air`` (palette id 0, the format's default),
+    palette ordered air-first then sorted names (deterministic bytes),
+    YZX varint pack via :func:`encode_varints`. Emits
+    (build_id, schem blob, dims, n_blocks); a build whose bbox exceeds
+    ``MAX_GRID_CELLS`` yields an error row instead of an executor OOM
+    (X4 per-row isolation).
+
+    Round-trips through :func:`schem_blocks` byte-exactly (asserted in
+    tests and the ``schem_roundtrip_cells`` driver oracle query).
+    """
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        bid = int(pdf[build_col].iloc[0])
+        try:
+            xs = pdf["x"].to_numpy(np.int64)
+            ys = pdf["y"].to_numpy(np.int64)
+            zs = pdf["z"].to_numpy(np.int64)
+            x0, y0, z0 = xs.min(), ys.min(), zs.min()
+            w = int(xs.max() - x0 + 1)
+            h = int(ys.max() - y0 + 1)
+            ln = int(zs.max() - z0 + 1)
+            if w * h * ln > MAX_GRID_CELLS:
+                raise ValueError(
+                    f"bbox {w}x{h}x{ln} exceeds MAX_GRID_CELLS"
+                )
+            names = pdf[block_col].to_numpy(object)
+            palette = {"minecraft:air": 0}
+            for n in sorted(set(names) - {"minecraft:air"}):
+                palette[n] = len(palette)
+            ids = np.zeros(w * h * ln, dtype=np.int64)
+            cell = ((ys - y0) * ln + (zs - z0)) * w + (xs - x0)
+            # dict lookup over the block COLUMN rides pandas' C map;
+            # the only Python loop above is over the bounded palette
+            pid = pdf[block_col].map(palette).to_numpy(np.int64)
+            ids[cell] = pid
+            blob = encode_schem(w, h, ln, palette, ids)
+            return pd.DataFrame(
+                [(bid, blob, w, h, ln, len(pdf), None)],
+                columns=["build_id", "schem", "width", "height",
+                         "length", "n_blocks", "error"],
+            )
+        except Exception as e:  # X4 per-build isolation
+            return pd.DataFrame(
+                [(bid, None, None, None, None, len(pdf), str(e)[:200])],
+                columns=["build_id", "schem", "width", "height",
+                         "length", "n_blocks", "error"],
+            )
+
+    return df.groupBy(build_col).applyInPandas(make, SCHEM_BLOB_SCHEMA)
