@@ -1390,5 +1390,74 @@ def schem_roundtrip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "world2vec_builds",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(34 AS INT), CAST(2 AS INT), CAST(34 AS INT),
+       CAST(17 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST(34 AS INT), CAST(2 AS INT), CAST(34 AS INT),
+       CAST(18 AS BIGINT))
+    ) AS t(build_id, width, height, length, n_blocks)
+    """,
+)
+def world2vec_builds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full world2vec plan as one driver-checked query: two synthetic
+    .mca regions (build A: 3×3 chunks with a natural-only center that
+    the J4 bbox re-sweep must pull back in; build B: 3×3 in the next
+    region over, proving global chunk coords; one F10-gated chunk) run
+    through S9 decode → F10 → F8 → X5 DBSCAN → J4 → S12 export
+    (plans/world2vec.py). The expected schematic dimensions and block
+    counts are hand-derived constants — deterministic by construction,
+    independent of sf."""
+    import numpy as np
+
+    from .functions import nbt as nbt_mod
+    from .plans.world2vec import extract_builds
+    from .sources.mca import encode_region, pack_section
+
+    palette = ["minecraft:air", "minecraft:stone", "minecraft:oak_planks"]
+
+    def chunk(inhabited, planks):
+        ids = np.zeros(4096, dtype=np.int64)
+        ids[5 * 256] = 1
+        if planks:
+            ids[6 * 256 + 16 + 1] = 2
+        pal = nbt_mod.List_(nbt_mod.TAG_COMPOUND, [
+            nbt_mod.Compound({"Name": nbt_mod.String(p)}) for p in palette
+        ])
+        return nbt_mod.Compound({
+            "InhabitedTime": nbt_mod.Long(inhabited),
+            "sections": nbt_mod.List_(nbt_mod.TAG_COMPOUND, [
+                nbt_mod.Compound({
+                    "Y": nbt_mod.Byte(0),
+                    "block_states": nbt_mod.Compound({
+                        "palette": pal,
+                        "data": nbt_mod.LongArray(
+                            pack_section(ids, n_palette=3)),
+                    }),
+                })
+            ]),
+        })
+
+    r0 = {(cx, cz): chunk(400, not (cx == 3 and cz == 3))
+          for cx in range(2, 5) for cz in range(2, 5)}
+    r0[(10, 10)] = chunk(3, True)
+    r1 = {(cx, cz): chunk(400, True)
+          for cx in range(2, 5) for cz in range(2, 5)}
+    regions = spark.createDataFrame(
+        [(0, 0, 0, bytearray(encode_region(r0))),
+         (1, 1, 0, bytearray(encode_region(r1)))],
+        "row_idx long, rx int, rz int, content binary",
+    )
+    out = extract_builds(
+        regions,
+        ["minecraft:stone", "minecraft:dirt", "minecraft:grass_block"],
+    )
+    return out["schems"].filter(F.col("error").isNull()).select(
+        "build_id", "width", "height", "length", "n_blocks"
+    )
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)
