@@ -125,3 +125,16 @@ def test_single_entry_palette_needs_no_data(spark):
     got = mca_blocks(df).collect()
     assert len(got) == 4096
     assert {r.block for r in got} == {"minecraft:stone"}
+
+
+def test_read_mca_files_binary_source(spark, tmp_path):
+    from text2mc_dataprocessor_spark.sources.mca import read_mca_files
+
+    chunk = nbt.Compound({"InhabitedTime": nbt.Long(77)})
+    (tmp_path / "r.2.-3.mca").write_bytes(encode_region({(1, 1): chunk}))
+    (tmp_path / "r.0.0.mca").write_bytes(encode_region({(5, 9): chunk}))
+    got = read_mca_files(spark, str(tmp_path) + "/*.mca").collect()
+    by_region = {r.region_file: r for r in got}
+    assert set(by_region) == {"r.2.-3.mca", "r.0.0.mca"}
+    r = by_region["r.2.-3.mca"]
+    assert (r.rx, r.rz, r.cx, r.cz, r.inhabited_time) == (2, -3, 1, 1, 77)

@@ -156,3 +156,22 @@ def test_blocks_to_schem_bbox_guard(spark):
     )
     rows = blocks_to_schem(df).collect()
     assert len(rows) == 1 and rows[0].error is not None and rows[0].schem is None
+
+
+def test_read_schem_files_binary_source(spark, tmp_path):
+    from text2mc_dataprocessor_spark.sources.schem import read_schem_files
+
+    palette = {"minecraft:air": 0, "minecraft:stone": 1}
+    for name, ids in [("a.schem", [1, 0, 0, 1]), ("b.schem", [0, 1, 1, 0])]:
+        (tmp_path / name).write_bytes(encode_schem(2, 1, 2, palette, ids))
+    got = read_schem_files(spark, str(tmp_path) + "/*.schem")
+    rows = got.filter(got.error.isNull()).collect()
+    assert len(rows) == 8  # 4 cells x 2 files
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], set()).add(
+            (r.x, r.y, r.z, r.block))
+    assert by_file["a.schem"] == {
+        (0, 0, 0, "minecraft:stone"), (1, 0, 0, "minecraft:air"),
+        (0, 0, 1, "minecraft:air"), (1, 0, 1, "minecraft:stone")}
+    assert len(by_file["b.schem"]) == 4
