@@ -47,7 +47,8 @@ def _base_name(col):
 
 def extract_builds(regions: DataFrame, natural_blocks: list[str],
                    eps: float = 5.0, min_samples: int = 5,
-                   min_inhabited_ticks: int = 30) -> dict:
+                   min_inhabited_ticks: int = 30,
+                   info: dict | None = None) -> dict:
     """``regions``: (row_idx long, rx int, rz int, content binary) — one
     .mca blob per row with its P11 filename coords (``read_mca_files``
     produces this shape).
@@ -76,6 +77,10 @@ def extract_builds(regions: DataFrame, natural_blocks: list[str],
     )
     kept = inhabited_gate(chunks, col="inhabited_time")
 
+    # the decoded block table feeds three consumers (modded flag, F8
+    # qualification, the final build join) — persist so the Arrow
+    # decode pass runs once, and hand the cache to the caller via
+    # ``info["persisted"]`` (with_global_rank convention)
     blocks = (
         mca_blocks(regions)
         .filter(F.col("error").isNull())
@@ -84,7 +89,10 @@ def extract_builds(regions: DataFrame, natural_blocks: list[str],
         .withColumn("gz", F.col("rz") * 512 + F.col("z"))
         .withColumn("gcx", F.col("rx") * 32 + F.col("cx"))
         .withColumn("gcz", F.col("rz") * 32 + F.col("cz"))
+        .persist()
     )
+    if info is not None:
+        info.setdefault("persisted", []).append(blocks)
 
     base = _base_name(F.col("block"))
     modded = (
