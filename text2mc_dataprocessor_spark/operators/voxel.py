@@ -179,7 +179,8 @@ def modded_abort(df: DataFrame, prefix: str = "minecraft") -> bool:
 MIN_INHABITED_TICKS = 30  # 1.5 s at 20 ticks/s (world2vec.py:141-144)
 
 
-def inhabited_gate(df: DataFrame, col: str = "inhabited_time") -> DataFrame:
+def inhabited_gate(df: DataFrame, col: str = "inhabited_time",
+                   min_ticks: int = MIN_INHABITED_TICKS) -> DataFrame:
     """F10 — keep chunks players actually visited: InhabitedTime ≥ 1.5 s
     (30 ticks), or the field absent/NULL (older worlds lack it — the
     reference treats a missing field as pass:
@@ -187,7 +188,7 @@ def inhabited_gate(df: DataFrame, col: str = "inhabited_time") -> DataFrame:
     time this predicate is exactly a zone-map skip: Parquet column
     min/max stats prune whole row groups of unvisited chunks."""
     c = F.col(col)
-    return df.filter(c.isNull() | (c >= F.lit(MIN_INHABITED_TICKS)))
+    return df.filter(c.isNull() | (c >= F.lit(min_ticks)))
 
 
 def nonempty_region_gate(df: DataFrame, count_col: str = "n_chunks") -> DataFrame:

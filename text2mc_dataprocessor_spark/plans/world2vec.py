@@ -75,7 +75,8 @@ def extract_builds(regions: DataFrame, natural_blocks: list[str],
         .withColumn("gcx", F.col("rx") * 32 + F.col("cx"))
         .withColumn("gcz", F.col("rz") * 32 + F.col("cz"))
     )
-    kept = inhabited_gate(chunks, col="inhabited_time")
+    kept = inhabited_gate(chunks, col="inhabited_time",
+                          min_ticks=min_inhabited_ticks)
 
     # the decoded block table feeds three consumers (modded flag, F8
     # qualification, the final build join) — persist so the Arrow
