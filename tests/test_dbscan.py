@@ -7,6 +7,8 @@ cluster of SOME core neighbor. The oracle checks exactly that."""
 
 import random
 
+import pytest
+
 from text2mc_dataprocessor_spark.operators.dbscan import (
     cluster_extents,
     dbscan_labels,
@@ -123,3 +125,15 @@ def test_cluster_extents(spark):
     assert len(ext) == 1
     e = ext[0]
     assert (e.low_x, e.high_x, e.low_z, e.high_z) == (0, 2, 0, 3)
+
+def test_long_chain_runs_to_fixpoint_and_max_iter_raises(spark):
+    # one chain-shaped cluster whose propagation diameter exceeds a
+    # small max_iter: the bound must RAISE (silently stopping would
+    # emit one cluster as several); the fixpoint default must converge
+    pts = [(x, 0) for x in range(0, 30)]
+    df = spark.createDataFrame(list(pts), "x int, z int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dbscan_labels(df, eps=1.5, min_samples=2, max_iter=3)
+    labels = run_spark_dbscan(spark, pts, eps=1.5, min_samples=2)
+    check_equivalent(pts, 1.5, 2, labels)
+    assert set(labels.values()) == {0}

@@ -113,3 +113,34 @@ def test_lineage_metrics_recorded(spark, corpus, tmp_path):
     # trace dequeue counts match lineage
     total_deq = lineage[(lineage.metric == "dequeued") & (lineage.key == "total")].value.sum()
     assert total_deq == eng.trace_df().count()
+
+def test_resume_hydrates_cursors_from_meta_without_history_scan(spark, corpus, tmp_path):
+    """Resume cursors (max_seq, trace_count) ride in the manifest meta:
+    hydrating state must run NO full-history Spark action. The probe
+    monkeypatches the fallback actions (DataFrame.count / .agg / .first)
+    to raise during resume — meta-backed hydration never calls them."""
+    from pyspark.sql import DataFrame
+
+    cfg = CrawlConfig(politeness_budget=3, n_buckets=8)
+    a = CrawlEngine(spark, str(tmp_path / "m"), pages_to_spark(spark, corpus), config=cfg)
+    a.init(seeds_to_spark(spark, corpus))
+    a.run(rounds=2)
+    want_seq, want_trace = a._max_seq, a._trace_count
+    meta = a.t_frontier.manifest()["meta"]
+    assert meta["max_seq"] == want_seq and meta["trace_count"] == want_trace
+
+    def boom(self, *args, **kwargs):
+        raise AssertionError("resume ran a full-history Spark action")
+
+    saved = {n: getattr(DataFrame, n) for n in ("count", "agg", "first", "collect")}
+    try:
+        for n in saved:
+            setattr(DataFrame, n, boom)
+        b = CrawlEngine.resume(
+            spark, str(tmp_path / "m"), pages_to_spark(spark, corpus), config=cfg
+        )
+    finally:
+        for n, f in saved.items():
+            setattr(DataFrame, n, f)
+    assert b._max_seq == want_seq and b._trace_count == want_trace
+    b.run()  # and the resumed crawl still completes

@@ -105,8 +105,12 @@ class CuckooFilter:
         """Insert a key batch (eviction chains are inherently
         sequential, so inserts loop per key — the probe path is the
         vectorized hot path; inserts touch only each round's NEW urls).
-        Raises if a bucket's table saturates (size for the partition's
-        capacity up front)."""
+        Raises if a bucket's table saturates — unlike the Bloom path,
+        which degrades (higher FPR) instead of failing, a full cuckoo
+        table has nowhere to put a fingerprint. Size
+        ``capacity_per_bucket ≥ expected urls / n_buckets / 0.84``
+        (4-slot cuckoo tables stay insertable to ~95% load; 84% leaves
+        skew headroom) so the whole merge job never hits this."""
         for k in keys:
             if not self.insert(int(k)):
                 raise ValueError(
@@ -115,6 +119,18 @@ class CuckooFilter:
                 )
 
     def delete(self, key: int) -> bool:
+        """Remove ONE stored copy of the key's 16-bit fingerprint.
+
+        Standard cuckoo semantics: if another live key collides on
+        (bucket, fingerprint, index) — probability ~8/2^16 per
+        co-bucketed pair — that key now probes as "definitely unseen",
+        which SKIPS the exact backstop (that fast path is what the
+        filter exists for), so a ``forget(url_A)`` can occasionally
+        cause a colliding url_B to be re-enqueued and re-crawled once
+        as a duplicate. A bounded rate of benign duplicate fetches is
+        the documented price of deletability; schedules that cannot
+        tolerate any should stay on the Bloom filter (no deletes, no
+        collateral)."""
         fp, i1 = self._fp_index(key)
         i2 = self._alt_index(i1, fp)
         for i in (i1, i2):

@@ -73,10 +73,18 @@ def _neighbor_pairs(pts: DataFrame, eps: float) -> DataFrame:
 
 def dbscan_labels(df: DataFrame, x_col: str = "x", z_col: str = "z",
                   eps: float = 5.0, min_samples: int = 5,
-                  max_iter: int = 50) -> DataFrame:
+                  max_iter: int | None = None) -> DataFrame:
     """→ distinct (x, z, label): DBSCAN partition of the input's
     coordinate set. label ≥ 0 per cluster (numbered by (min x, min z)),
-    −1 for noise. Join back on (x, z) to label full rows."""
+    −1 for noise. Join back on (x, z) to label full rows.
+
+    Min-label propagation runs to FIXPOINT by default (each round is
+    one join+groupBy; round count ~ core-graph diameter in cells, so a
+    chain-shaped cluster converges in O(chain length) cheap rounds).
+    ``max_iter`` is a safety bound for callers that need one: hitting
+    it with labels still changing RAISES rather than silently emitting
+    one cluster as several (which downstream would export as several
+    builds)."""
     pts = (
         df.groupBy(F.col(x_col).alias("x"), F.col(z_col).alias("z"))
         .agg(F.count(F.lit(1)).alias("w"))
@@ -105,7 +113,8 @@ def dbscan_labels(df: DataFrame, x_col: str = "x", z_col: str = "z",
 
     labels = core.select("pid", F.col("pid").alias("label"))
     labels = labels.localCheckpoint()
-    for _ in range(max_iter):
+    it = 0
+    while True:
         nbr_min = (
             edges.join(labels, edges.p == labels.pid)
             .groupBy(F.col("q").alias("pid"))
@@ -124,6 +133,13 @@ def dbscan_labels(df: DataFrame, x_col: str = "x", z_col: str = "z",
         labels = new
         if changed == 0:
             break
+        it += 1
+        if max_iter is not None and it >= max_iter:
+            raise RuntimeError(
+                f"dbscan label propagation did not converge in {max_iter} "
+                "iterations (cluster diameter exceeds the bound) — raise "
+                "max_iter or leave it None to run to fixpoint"
+            )
 
     # border points: non-core with ≥1 core neighbor → min core label
     border = (

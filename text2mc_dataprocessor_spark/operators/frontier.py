@@ -64,7 +64,19 @@ def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
     "persisted": [<cached intermediate>]}`` — the count is a free
     byproduct of the offsets collect, so callers never need a separate
     ``.count()`` job, and the caller owns unpersisting the intermediate
-    (it backs every consumer of the ranked output)."""
+    (it backs every consumer of the ranked output).
+
+    Without ``info`` the caller has no handle to release, so the ranked
+    output is materialized (``localCheckpoint``) and every internal
+    cache is unpersisted before returning — one-shot callers (driver
+    queries, top-k helpers) would otherwise leak a cached DataFrame per
+    invocation for the session lifetime. The cache is only load-bearing
+    between the offsets collect and the final materialization: the
+    range partitioner SAMPLES, so a recompute could draw different
+    partition bounds than the counts were taken from."""
+    release = info is None
+    if release:
+        info = {}
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -73,8 +85,7 @@ def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
         # separate pass — without a persist the upstream plan (e.g. the
         # per-host budget window over the whole frontier) runs twice
         df = df.persist()
-        if info is not None:
-            info.setdefault("persisted", []).append(df)
+        info.setdefault("persisted", []).append(df)
     part = df.repartitionByRange(n_partitions, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -87,9 +98,8 @@ def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    if info is not None:
-        info["n"] = acc
-        info.setdefault("persisted", []).append(part)
+    info["n"] = acc
+    info.setdefault("persisted", []).append(part)
     if offsets:
         offset_expr = F.element_at(
             F.create_map(
@@ -100,10 +110,15 @@ def with_global_rank(df: DataFrame, order_exprs: list, out: str = "rank",
     else:
         offset_expr = F.lit(0)
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
-    return (
+    ranked = (
         part.withColumn(out, (F.row_number().over(w) + offset_expr).cast("long"))
         .drop("_pid")
     )
+    if release:
+        ranked = ranked.localCheckpoint(eager=True)
+        for c in info.get("persisted", []):
+            c.unpersist()
+    return ranked
 
 
 def with_grouped_rank(df: DataFrame, group_expr, order_exprs: list,
@@ -148,18 +163,33 @@ def with_grouped_rank(df: DataFrame, group_expr, order_exprs: list,
 def dequeue_group_expr(max_seq: int, n_groups: int = 256):
     """Order-respecting group id for the dequeue priority order
     (score DESC, depth ASC, discovered_seq ASC), given the current
-    frontier's max discovered_seq. Scores are the fixed kind scores
-    (listing 2.0 / detail 1.0 / download 0.0) and depth is bounded, so
-    ``((2 - score), depth)`` major-orders the groups and a
-    discovered_seq range bucket subdivides the big same-(score,depth)
-    groups for parallelism. Group balance only affects parallelism,
-    never correctness."""
+    frontier's max discovered_seq.
+
+    CONTRACT: scores must be INTEGRAL (the engine's fixed kind scores
+    listing 2.0 / detail 1.0 / download 0.0 are) — ``(2 - score)``
+    truncates, so a frontier carrying custom fractional scores would
+    interleave score classes across groups and break the
+    order-respecting invariant; such frontiers must take the sampled
+    ``with_global_rank`` path instead (``dequeue(..., max_seq=None)``).
+    ``(srank, depth)`` major-orders the groups and a discovered_seq
+    range bucket subdivides the big same-(score,depth) groups for
+    parallelism. Depth is clamped at 4095: all deeper rows share the
+    tail group of their score class, with NO seq subdivision there
+    (rows of different depths share that group, and within-group order
+    is still exact via ``priority_order()``) — merging tail groups
+    keeps monotonicity, it only costs parallelism. Group balance only
+    affects parallelism, never correctness."""
     srank = (F.lit(2.0) - F.col("score")).cast("long")
+    depth_c = F.least(F.col("depth"), F.lit(4095))
     seq_bucket = F.floor(
         F.col("discovered_seq") * n_groups / F.lit(max(max_seq, 0) + 1)
     )
     seq_bucket = F.least(F.greatest(seq_bucket, F.lit(0)), F.lit(n_groups - 1))
-    return (srank * 4096 + F.col("depth")) * n_groups + seq_bucket
+    # depth ≥ 4095 collapses into one group per score class: a seq
+    # bucket there would order (depth 4095, high seq) after
+    # (depth 5000, low seq), violating depth-major priority
+    seq_bucket = F.when(F.col("depth") >= 4095, F.lit(0)).otherwise(seq_bucket)
+    return (srank * 4096 + depth_c) * n_groups + seq_bucket
 
 
 def dequeue(queued: DataFrame, politeness_budget: int,

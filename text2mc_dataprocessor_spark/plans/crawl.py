@@ -217,12 +217,20 @@ class CrawlEngine:
         seen0 = frontier0.select("url", "url_hash", "bucket")
         bloom0 = self.bloom.build(seen0.select("bucket", "url_hash"))
         empty = self.spark.createDataFrame([], EXTRACTED_SCHEMA)
-        self.t_trace.commit(self.spark.createDataFrame([], TRACE_SCHEMA), {"round": 0})
-        self.t_lineage.commit(self.spark.createDataFrame([], LINEAGE_SCHEMA), {"round": 0})
-        self.t_extracted.commit(empty, {"round": 0})
-        self.t_seen.commit(seen0, {"round": 0})
-        self.t_bloom.commit(bloom0, {"round": 0})
-        self.t_frontier.commit(frontier0, {"round": 0})
+        # one-time scan; every later version carries the cursors forward
+        # in its manifest meta so resume never recounts history
+        ms = frontier0.agg(F.max("discovered_seq")).first()[0]
+        meta0 = {
+            "round": 0,
+            "max_seq": int(ms) if ms is not None else -1,
+            "trace_count": 0,
+        }
+        self.t_trace.commit(self.spark.createDataFrame([], TRACE_SCHEMA), meta0)
+        self.t_lineage.commit(self.spark.createDataFrame([], LINEAGE_SCHEMA), meta0)
+        self.t_extracted.commit(empty, meta0)
+        self.t_seen.commit(seen0, meta0)
+        self.t_bloom.commit(bloom0, meta0)
+        self.t_frontier.commit(frontier0, meta0)
         self._load_state()
 
     def _load_state(self) -> None:
@@ -249,9 +257,19 @@ class CrawlEngine:
         self._lineage_base = self.t_lineage.read(spark, v)
         self._lineage_deltas = []
         self._seen_full_rewrite = False
-        ms = self.frontier_df().agg(F.max("discovered_seq")).first()[0]
-        self._max_seq = int(ms) if ms is not None else -1
-        self._trace_count = self._trace_base.count()
+        # resume cursors ride in the manifest meta (written by every
+        # commit) — hydrating is O(1), no full-history count/agg; the
+        # fallback computes them only for pre-meta snapshots
+        meta = self.t_frontier.manifest(v)["meta"]
+        if "max_seq" in meta:
+            self._max_seq = int(meta["max_seq"])
+        else:
+            ms = self.frontier_df().agg(F.max("discovered_seq")).first()[0]
+            self._max_seq = int(ms) if ms is not None else -1
+        if "trace_count" in meta:
+            self._trace_count = int(meta["trace_count"])
+        else:
+            self._trace_count = self._trace_base.count()
         self._round = self.round_number()
         self._dirty = False
 
@@ -374,7 +392,12 @@ class CrawlEngine:
 
     def _commit_state(self) -> None:
         v = self.version + 1
-        meta = {"round": self._round, **self._last_meta}
+        meta = {
+            "round": self._round,
+            "max_seq": self._max_seq,
+            "trace_count": self._trace_count,
+            **self._last_meta,
+        }
         s = self._state
         # Incremental commit: the queue (the only shrinking/rewritten
         # part of the frontier) is written in full; everything that only

@@ -136,4 +136,11 @@ def extract_builds(regions: DataFrame, natural_blocks: list[str],
         F.col("gz").alias("z"), "block",
     )
     schems = blocks_to_schem(build_blocks)
+    if info is None:
+        # no handle was requested, so nothing would ever release the
+        # block cache — materialize the lazy consumers and unpersist
+        # now (``labeled`` is already localCheckpointed by dbscan)
+        schems = schems.localCheckpoint(eager=True)
+        modded = modded.localCheckpoint(eager=True)
+        blocks.unpersist()
     return {"schems": schems, "labeled_chunks": labeled, "modded": modded}

@@ -18,10 +18,10 @@ is explicit:
   selenium_scraper.py:598), and isolates per-row errors
   (:176-178) — a failed GET yields html=NULL → state=FAILED.
 
-No live network exists in this sandbox, so ``HttpFetcher`` is built and
-unit-importable but NOT exercised by tests; its Spark-side contract
-(schema in/out, partitioning, batching) is identical to TableFetcher's
-output and is what tests cover.
+``HttpFetcher`` is stdlib-only (``urllib``) and exercised end-to-end in
+tests/test_fetch_http.py against a loopback ``http.server`` (chunked
+bodies, oversized responses, 404s, HEAD Content-Length) — no external
+network needed.
 """
 
 from __future__ import annotations
@@ -121,15 +121,8 @@ class HttpFetcher:
         max_bytes = self.max_bytes
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            try:
-                import requests  # gated: not needed in replay mode
-            except ImportError as e:  # pragma: no cover
-                raise RuntimeError(
-                    "HttpFetcher requires the 'requests' package at executor "
-                    "runtime; use TableFetcher for replay workloads"
-                ) from e
+            import urllib.request  # stdlib — no executor-side deps
 
-            session = requests.Session()
             last_host_hit: dict[str, float] = {}
             for pdf in batches:
                 rows = []
@@ -142,12 +135,18 @@ class HttpFetcher:
                             time.sleep(wait)
                     t0 = time.time()
                     try:
-                        resp = session.get(r.url, stream=True, timeout=timeout_s)
-                        buf = bytearray()
-                        for chunk in resp.iter_content(chunk_size=chunk_size):
-                            buf.extend(chunk)
-                            if len(buf) > max_bytes:
-                                raise ValueError("max_bytes exceeded")
+                        with urllib.request.urlopen(r.url, timeout=timeout_s) as resp:
+                            buf = bytearray()
+                            # stream in chunks (the reference downloads in
+                            # 1 KiB chunks, selenium_scraper.py:598) so the
+                            # cap aborts without buffering the whole body
+                            while True:
+                                chunk = resp.read(chunk_size)
+                                if not chunk:
+                                    break
+                                buf.extend(chunk)
+                                if len(buf) > max_bytes:
+                                    raise ValueError("max_bytes exceeded")
                         rows.append((r.url, bytes(buf), int((time.time() - t0) * 1000), None))
                     except Exception as e:  # X4 per-row isolation
                         rows.append((r.url, None, int((time.time() - t0) * 1000), str(e)[:200]))
@@ -164,21 +163,15 @@ class HttpFetcher:
         timeout_s = self.timeout_s
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            try:
-                import requests  # gated: not needed in replay mode
-            except ImportError as e:  # pragma: no cover
-                raise RuntimeError(
-                    "HttpFetcher.head requires 'requests' at executor "
-                    "runtime; use TableFetcher.head for replay workloads"
-                ) from e
+            import urllib.request  # stdlib — no executor-side deps
 
-            session = requests.Session()
             for pdf in batches:
                 sizes = []
                 for u in pdf[url_col]:
                     try:
-                        resp = session.head(u, timeout=timeout_s, allow_redirects=True)
-                        cl = resp.headers.get("Content-Length")
+                        req = urllib.request.Request(u, method="HEAD")
+                        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                            cl = resp.headers.get("Content-Length")
                         sizes.append(int(cl) if cl is not None else None)
                     except Exception:
                         sizes.append(None)

@@ -52,6 +52,12 @@ def decode_varints(data: bytes) -> np.ndarray:
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
+    if int((ends - starts).max()) >= 5:
+        # the k<5 accumulation below would silently DROP continuation
+        # bytes 6+ and yield wrong palette ids that still pass the
+        # cell-count check; reject instead (matches encode_varints'
+        # 2^35 bound)
+        raise ValueError("varint longer than 5 bytes (id out of 2^35 range)")
     vals = np.zeros(ends.size, dtype=np.int64)
     for k in range(5):
         pos = starts + k
