@@ -143,20 +143,35 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 13,
+    info: dict | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, est_jaccard) candidate near-dup pairs.
 
     Banded LSH: a pair is a candidate iff some band of rows/band minhash
     values matches exactly; est_jaccard = fraction of agreeing minhashes
     (unbiased Jaccard estimator) filtered at ``threshold``.
+
+    The band self-join moves 8-byte ids only — signatures are
+    re-attached BY ID after the candidate set exists, so the band
+    shuffle (bands× the corpus row count) never carries the
+    2·n_hashes·8-byte arrays. The signature table backs three
+    consumers and is persisted once; pass ``info`` to own releasing it
+    (``info["persisted"]``), or omit it and the result is materialized
+    with every internal cache dropped before returning (the
+    with_global_rank convention).
     """
+    release = info is None
+    if release:
+        info = {}
     rows_per_band = n_hashes // bands
-    sigged = with_minhash(df, text_col, n_hashes, shingle_n, seed).select(
-        F.col(id_col).alias("id"), "minhash"
+    sigged = (
+        with_minhash(df, text_col, n_hashes, shingle_n, seed)
+        .select(F.col(id_col).alias("id"), "minhash")
+        .persist()
     )
+    info.setdefault("persisted", []).append(sigged)
     banded = sigged.select(
         "id",
-        "minhash",
         F.explode(
             F.array(
                 *[
@@ -173,18 +188,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "minhash", "bk.band", "bk.bkey")
+    ).select("id", "bk.band", "bk.bkey")
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("minhash").alias("mh_a"), "band", "bkey"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("minhash").alias("mh_b"), "band", "bkey"
-    )
+    left = banded.select(F.col("id").alias("id_a"), "band", "bkey")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bkey")
     pairs = (
         left.join(right, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pairs.join(
+        sigged.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")),
+        "id_a",
+    ).join(
+        sigged.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b")),
+        "id_b",
     )
     agree = F.size(
         F.filter(
@@ -192,10 +211,14 @@ def minhash_lsh_pairs(
         )
     )
     est = agree.cast("double") / F.lit(n_hashes)
-    return (
+    out = (
         pairs.select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+    if release:
+        out = out.localCheckpoint(eager=True)
+        sigged.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1459,5 +1459,180 @@ def world2vec_builds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Near-dup / ANN / crawl-loop oracles (round-2 rows-only queries upgraded:
+# planted known-signature pairs, recall-floor constants, and a constant
+# VALUES oracle for the deterministic fixture crawl)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "minhash_lsh_pairs",
+    """
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an EXACT expected pair set: each
+    sliced doc gets a planted identical copy (id+100000) — identical
+    text ⇒ identical signatures ⇒ the pair survives every band with
+    est_jaccard exactly 1.0, regardless of hash seeds. threshold=0.9
+    excludes every natural pair of the corpus (verified: max natural
+    pairwise estimate in the slice is far below), so the oracle is the
+    planted set itself: recall loss OR precision loss both break the
+    hash match (the round-1 rows-only check could see neither).
+    Estimator accuracy on non-identical pairs is covered vs brute-force
+    Jaccard in tests/test_dedup.py."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = base.select("doc_id", "text").unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return minhash_lsh_pairs(docs, threshold=0.9)
+
+
+@_q(
+    "simhash_pairs",
+    """
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, planted-pair oracle (same construction
+    as minhash_lsh_pairs_q): identical copies hash to identical 64-bit
+    signatures → hamming 0 through the pigeonhole banding; max_hamming=2
+    excludes all natural pairs of the slice (the full corpus has
+    natural pairs only at distance ≥ the round-2 max_hamming=8
+    setting). Hamming accuracy on near-but-not-identical docs is
+    covered in tests/test_dedup.py."""
+    from .operators.dedup import simhash_pairs
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = base.select("doc_id", "text").unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return simhash_pairs(docs, max_hamming=2)
+
+
+def _ann_recall_summary(exact: DataFrame, approx: DataFrame,
+                        floor: float) -> DataFrame:
+    """One-row (n_queries, n_exact, recall_ok) summary: recall of the
+    exact top-k pair set by the ANN pair set, compared to a constant
+    floor — the SQL-checkable contract of an approximate operator."""
+    hits = approx.select("qid", "vec_id").withColumn("_hit", F.lit(1))
+    joined = exact.select("qid", "vec_id").join(hits, ["qid", "vec_id"], "left")
+    return joined.agg(
+        F.count_distinct("qid").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            >= F.count(F.lit(1)) * F.lit(floor)
+        ).alias("recall_ok"),
+    )
+
+
+@_q(
+    "cosine_topk_lsh",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, CAST(40 AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    """,
+)
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-ANN recall floor as a constant: the banded random-hyperplane
+    path (seeded, deterministic) must recover ≥80% of the exact
+    brute-force top-5 pairs for 8 queries (measured 1.00 at band
+    width 2; the brute-force side is itself hash-checked by the
+    ``cosine_topk`` oracle). A recall regression flips recall_ok and
+    fails the hash match — round 2 recorded rows only."""
+    from .operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=24, n_tables=12)
+    return _ann_recall_summary(exact, approx, floor=0.8)
+
+
+@_q(
+    "cosine_topk_ivf",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, CAST(40 AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    """,
+)
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN recall floor as a constant: KMeans coarse quantizer
+    (seeded) + n_probe/n_lists=3/8 scan fraction must recover ≥60% of
+    the exact top-5 pairs (measured 0.75; the floor leaves headroom for
+    float-summation-order wobble in distributed KMeans)."""
+    from .operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = cosine_topk_ivf(emb, queries, k=5, n_lists=8, n_probe=3)
+    return _ann_recall_summary(exact, approx, floor=0.6)
+
+
+@_q(
+    "crawl_rounds_extracted",
+    """
+    SELECT download_url, url, image_url, tags, raw_download_link,
+           CAST(NULL AS BIGINT) AS download_size,
+           download_url || chr(31) || image_url || chr(31) || tags
+               || chr(31) || raw_download_link AS extracted_text
+    FROM (VALUES
+      ('', 'https://h0.planetminecraft.com/project/b0-0/', 'https://cdn.planetminecraft.com/files/image/b0-0_l.jpg', '[]', ''),
+      ('https://h0.planetminecraft.com/project/b0-1/download/', 'https://h0.planetminecraft.com/project/b0-1/', 'https://cdn.planetminecraft.com/files/image/b0-1_l.jpg', '[''Castle'']', ''),
+      ('', 'https://h0.planetminecraft.com/project/b0-2/', 'https://cdn.planetminecraft.com/files/image/b0-2_l.jpg', '[''City Build'', ''Fantasy'', ''Fantasy'', ''Medieval'']', ''),
+      ('https://www.mediafire.com/file/b0-3', 'https://h0.planetminecraft.com/project/b0-3/', 'https://cdn.planetminecraft.com/files/image/b0-3_l.jpg', '[''Fantasy'', ''3D Art'', ''Castle'', ''3D Art'']', 'https://download1472.mediafire.com/dl/b0-3.zip'),
+      ('https://www.mediafire.com/file/b0-4', 'https://h0.planetminecraft.com/project/b0-4/', 'https://cdn.planetminecraft.com/files/image/b0-4_l.jpg', '[]', 'https://download1472.mediafire.com/dl/b0-4.zip'),
+      ('', 'https://h0.planetminecraft.com/project/b0-5/', 'https://cdn.planetminecraft.com/files/image/b0-5_l.jpg', '[''House'', ''Modern'']', ''),
+      ('https://h0.planetminecraft.com/project/b0-6/download/', 'https://h0.planetminecraft.com/project/b0-6/', 'https://cdn.planetminecraft.com/files/image/b0-6_l.jpg', '[]', 'https://static.planetminecraft.com/files/resource_media/schematic/b0-6.schematic'),
+      ('https://www.mediafire.com/file/b0-7', 'https://h0.planetminecraft.com/project/b0-7/', 'https://cdn.planetminecraft.com/files/image/b0-7_l.jpg', '[''House'', ''Fantasy'', ''Landscape'', ''3D Art'']', 'https://download1472.mediafire.com/dl/b0-7.zip'),
+      ('https://h1.planetminecraft.com/project/b1-0/download/', 'https://h1.planetminecraft.com/project/b1-0/', 'https://cdn.planetminecraft.com/files/image/b1-0_l.jpg', '[''Redstone'', ''Castle'']', 'https://static.planetminecraft.com/files/resource_media/schematic/b1-0.schematic'),
+      ('https://h1.planetminecraft.com/project/b1-1/download/', 'https://h1.planetminecraft.com/project/b1-1/', '', '[]', 'https://static.planetminecraft.com/files/resource_media/schematic/b1-1.schematic'),
+      ('https://h1.planetminecraft.com/project/b1-2/download/', 'https://h1.planetminecraft.com/project/b1-2/', 'https://cdn.planetminecraft.com/files/image/b1-2_l.jpg', '[''Redstone'', ''Modern'', ''Redstone'']', 'https://static.planetminecraft.com/files/resource_media/schematic/b1-2.zip'),
+      ('', 'https://h1.planetminecraft.com/project/b1-3/', 'https://cdn.planetminecraft.com/files/image/b1-3_l.jpg', '[''Modern'', ''3D Art'', ''Castle'', ''Modern'']', ''),
+      ('', 'https://h1.planetminecraft.com/project/b1-4/', '', '[''Castle'', ''Redstone'', ''Fantasy'', ''Castle'']', ''),
+      ('', 'https://h1.planetminecraft.com/project/b1-5/', '', '[''House'', ''Medieval'', ''Castle'']', ''),
+      ('https://h1.planetminecraft.com/project/b1-6/download/', 'https://h1.planetminecraft.com/project/b1-6/', 'https://cdn.planetminecraft.com/files/image/b1-6_l.jpg', '[''Castle'', ''Landscape'']', 'https://static.planetminecraft.com/files/resource_media/schematic/b1-6.rar'),
+      ('', 'https://h1.planetminecraft.com/project/b1-7/', 'https://cdn.planetminecraft.com/files/image/b1-7_l.jpg', '[''Modern'', ''Castle'']', '')
+    ) AS t(download_url, url, image_url, tags, raw_download_link)
+    """,
+)
+def crawl_rounds_extracted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 end-to-end: full crawl rounds over the deterministic seed=42
+    fixture corpus (2 hosts × 2 listings × 4 links), returning the
+    final extracted table. Its content is a constant by construction —
+    independent of sf — so the oracle is the hand-captured VALUES above
+    (the ``world2vec_builds`` treatment): any drift in crawl ordering,
+    dedup, raw-link coalescing, or extraction bytes breaks the hash
+    match. Byte-identity vs the reference-semantics python oracle is
+    additionally asserted in tests/test_crawl_order.py."""
+    import tempfile
+
+    from .plans.crawl import CrawlConfig, CrawlEngine
+    from .sources.fixtures import generate_corpus, pages_to_spark, seeds_to_spark
+
+    corpus = generate_corpus(
+        n_hosts=2, listing_pages_per_host=2, links_per_listing=4, seed=42
+    )
+    workdir = tempfile.mkdtemp(prefix="crawl_round_q_")
+    eng = CrawlEngine(
+        spark,
+        workdir,
+        pages_to_spark(spark, corpus),
+        config=CrawlConfig(politeness_budget=8, n_buckets=8),
+    )
+    eng.init(seeds_to_spark(spark, corpus))
+    eng.run()
+    return eng.extracted_df()
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)
