@@ -192,6 +192,89 @@ def dequeue_group_expr(max_seq: int, n_groups: int = 256):
     return (srank * 4096 + depth_c) * n_groups + seq_bucket
 
 
+def stable_dequeue_group_expr(seq_block: int = 4096):
+    """Order-respecting group id for the dequeue priority order that is
+    STABLE ACROSS ROUNDS (unlike ``dequeue_group_expr``, whose seq
+    buckets renormalize by the frontier's current max_seq): the
+    discovered_seq dimension is blocked into fixed-width ranges, so a
+    row's group never changes as the frontier grows. That makes
+    per-group row counts incrementally maintainable in round state —
+    the basis of the prefix-pruned dequeue. Same integral-score /
+    depth-clamp contract as ``dequeue_group_expr``."""
+    srank = (F.lit(2.0) - F.col("score")).cast("long")
+    depth_c = F.least(F.col("depth"), F.lit(4095))
+    blk = F.least(
+        F.floor(F.col("discovered_seq") / F.lit(seq_block)),
+        F.lit((1 << 34) - 1),
+    )
+    blk = F.when(F.col("depth") >= 4095, F.lit(0)).otherwise(blk)
+    return (srank * 4096 + depth_c) * F.lit(1 << 34) + blk
+
+
+def grouped_counts(df: DataFrame, group_expr) -> dict[int, int]:
+    """{group id: row count} — one narrow map-side-combined job."""
+    return {
+        int(r._g): int(r.n)
+        for r in df.groupBy(group_expr.cast("long").alias("_g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def dequeue_pruned(queued: DataFrame, politeness_budget: int,
+                   global_budget: int, grp_counts: dict[int, int],
+                   info: dict | None = None, seq_block: int = 4096) -> DataFrame:
+    """``dequeue`` for the global-budget regime without scanning,
+    shuffling or window-sorting the whole queue: read only a PREFIX of
+    the priority-ordered groups that provably contains every winner.
+
+    Soundness: groups are order-respecting, so every row outside the
+    prefix sorts strictly after every row inside it; and a row's
+    within-host rank is decided only by better-priority same-host rows,
+    which live in lower-or-equal groups — hence inside the prefix too.
+    So if the per-host-capped prefix yields ≥ global_budget rows, the
+    true top-global_budget set is entirely inside the prefix. If it
+    yields fewer (hot hosts concentrated the prefix), the prefix is
+    extended and re-run — the loop ends at the full queue, which is the
+    plain ``dequeue``. Per-group counts come from ``grp_counts``,
+    maintained incrementally by the crawl loop (no count scan per
+    round).
+
+    WITHOUT a global budget, every host must be served its top-k, and
+    any host's rows may all live in the last group — a full pass is
+    semantically required; callers use ``dequeue`` there.
+    """
+    groups = sorted(g for g, n in grp_counts.items() if n > 0)
+    expr = stable_dequeue_group_expr(seq_block)
+    target = global_budget
+    while True:
+        cum, prefix_max = 0, None
+        for g in groups:
+            prefix_max = g
+            cum += grp_counts[g]
+            if cum >= target:
+                break
+        whole = prefix_max is None or prefix_max >= (groups[-1] if groups else 0)
+        sub = queued if prefix_max is None else queued.filter(expr <= F.lit(prefix_max))
+        sub_info: dict = {}
+        picked = dequeue(
+            sub, politeness_budget, None, info=sub_info,
+            max_seq=(1 << 34) * seq_block,  # any bound ≥ max seq works for
+            # the rank's OWN grouping; pass the stable expr's domain top
+        )
+        if sub_info["n"] >= global_budget or whole:
+            if info is not None:
+                info.update(sub_info)
+                info["n"] = min(sub_info["n"], global_budget)
+                info["prefix_max_group"] = prefix_max
+                info["prefix_rows"] = cum
+            return picked.filter(F.col("dequeue_rank") <= global_budget)
+        # capped prefix too small (host concentration): widen and retry
+        for df in sub_info.get("persisted", []):
+            df.unpersist()
+        target = max(target * 4, cum + 1)
+
+
 def dequeue(queued: DataFrame, politeness_budget: int,
             global_budget: int | None = None,
             info: dict | None = None,

@@ -46,19 +46,33 @@ from ..functions.urlkeys import host_col, url_hash_col
 from ..operators.frontier import (
     FRONTIER_SCHEMA,
     dequeue,
+    dequeue_pruned,
+    grouped_counts,
     kind_score_expr,
+    stable_dequeue_group_expr,
     with_grouped_rank,
 )
 from ..operators.politeness import robots_gate, salt_fetch_partitions
 from ..operators.seen import PartitionedBloom, dedup_and_split_new
 from ..sources.fetch import TableFetcher
-from ..sources.snapshots import SnapshotTable
+from ..sources.snapshots import BucketedSnapshotTable, SnapshotTable
 
 SEEN_SCHEMA = "url string, url_hash long, bucket int"
+#: public schema of ``extracted_df()`` — what the reference's
+#: projects.csv columns look like after a crawl
 EXTRACTED_SCHEMA = (
     "url string, download_url string, image_url string, tags string, "
     "raw_download_link string, download_size long, extracted_text string"
 )
+#: at-rest row schema of the extracted table: immutable per-detail-page
+#: facts only. The two columns the reference MUTATES in place
+#: (raw_download_link fills, HEAD-probed download_size —
+#: selenium_scraper.py:280-345, 520-573) are merge-on-read: they live
+#: in the append-only ``rawmap`` / ``sizes`` key→value logs and join in
+#: at read time, so no crawl round ever rewrites an extracted row.
+EXT_ROW_SCHEMA = "url string, download_url string, image_url string, tags string"
+RAWMAP_SCHEMA = "download_url string, raw_link string"
+SIZES_SCHEMA = "raw_download_link string, download_size long"
 TRACE_SCHEMA = "dequeue_seq long, round int, url string, host string, kind string"
 LINEAGE_SCHEMA = "round int, metric string, key string, value long"
 
@@ -96,9 +110,23 @@ class CrawlConfig:
     # CrawlEngine.forget). Both are partitioned per bucket with zero
     # false negatives; the exact left_anti backstop is identical.
     seen_filter: str = "bloom"
+    # The extracted table is hash-bucketed by download_url into this
+    # many buckets (immutable per-bucket parquet segments); a bucket is
+    # compacted into one segment when its list exceeds
+    # extracted_max_segments (LSM discipline — O(size/K) amortized).
+    extracted_buckets: int = 64
+    extracted_max_segments: int = 8
+    # Every K-th snapshot commit rewrites the append-only tables
+    # (trace / lineage / seen / rawmap / sizes / frontier done-history)
+    # in full instead of appending a segment, bounding read fan-in at
+    # O(K) dirs per table on thousand-round crawls. None disables.
+    compact_history_every: int | None = 32
 
 
-_STATE_TABLES = ("frontier", "seen", "bloom", "extracted", "trace", "lineage")
+_STATE_TABLES = (
+    "frontier", "seen", "bloom", "extracted", "rawmap", "sizes", "trace",
+    "lineage",
+)
 
 
 class CrawlEngine:
@@ -149,7 +177,11 @@ class CrawlEngine:
         self.t_frontier = SnapshotTable(workdir, "frontier")
         self.t_seen = SnapshotTable(workdir, "seen")
         self.t_bloom = SnapshotTable(workdir, "bloom")
-        self.t_extracted = SnapshotTable(workdir, "extracted")
+        self.t_extracted = BucketedSnapshotTable(
+            workdir, "extracted", max_segments=self.cfg.extracted_max_segments
+        )
+        self.t_rawmap = SnapshotTable(workdir, "rawmap")
+        self.t_sizes = SnapshotTable(workdir, "sizes")
         self.t_trace = SnapshotTable(workdir, "trace")
         self.t_lineage = SnapshotTable(workdir, "lineage")
         if self.cfg.seen_filter == "cuckoo":
@@ -180,12 +212,23 @@ class CrawlEngine:
         self._done_base: DataFrame | None = None
         self._done_deltas: list[DataFrame] = []
         self._seen_deltas: list[DataFrame] = []
+        # extracted = bucketed immutable rows + append-only fill logs
+        # (merge-on-read; see EXT_ROW_SCHEMA)
+        self._ext_base: DataFrame | None = None
+        self._ext_deltas: list[DataFrame] = []
+        self._rawmap_base: DataFrame | None = None
+        self._rawmap_deltas: list[DataFrame] = []
+        self._sizes_base: DataFrame | None = None
+        self._sizes_deltas: list[DataFrame] = []
         self._trace_base: DataFrame | None = None
         self._trace_deltas: list[DataFrame] = []
         self._lineage_base: DataFrame | None = None
         self._lineage_deltas: list[DataFrame] = []
         self._max_seq: int = 0
         self._trace_count: int = 0
+        # per-group queue row counts for the prefix-pruned dequeue
+        # (global-budget regime only); None = recompute on next use
+        self._queue_grp_counts: dict[int, int] | None = None
         self._round: int = 0
         self._dirty: bool = False
         self._last_meta: dict = {}
@@ -216,7 +259,6 @@ class CrawlEngine:
         e.g. a pre-materialized 10^10-row frontier rather than a seed list."""
         seen0 = frontier0.select("url", "url_hash", "bucket")
         bloom0 = self.bloom.build(seen0.select("bucket", "url_hash"))
-        empty = self.spark.createDataFrame([], EXTRACTED_SCHEMA)
         # one-time scan; every later version carries the cursors forward
         # in its manifest meta so resume never recounts history
         ms = frontier0.agg(F.max("discovered_seq")).first()[0]
@@ -227,7 +269,9 @@ class CrawlEngine:
         }
         self.t_trace.commit(self.spark.createDataFrame([], TRACE_SCHEMA), meta0)
         self.t_lineage.commit(self.spark.createDataFrame([], LINEAGE_SCHEMA), meta0)
-        self.t_extracted.commit(empty, meta0)
+        self.t_extracted.commit_delta(None, meta0)
+        self.t_rawmap.commit(self.spark.createDataFrame([], RAWMAP_SCHEMA), meta0)
+        self.t_sizes.commit(self.spark.createDataFrame([], SIZES_SCHEMA), meta0)
         self.t_seen.commit(seen0, meta0)
         self.t_bloom.commit(bloom0, meta0)
         self.t_frontier.commit(frontier0, meta0)
@@ -247,11 +291,16 @@ class CrawlEngine:
             "queue": queue,
             "seen": self.t_seen.read(spark, v),
             "bloom": self.t_bloom.read(spark, v),
-            "extracted": self.t_extracted.read(spark, v),
         }
         self._done_base = done
         self._done_deltas = []
         self._seen_deltas = []
+        self._ext_base = self.t_extracted.read(spark, v)
+        self._ext_deltas = []
+        self._rawmap_base = self.t_rawmap.read(spark, v)
+        self._rawmap_deltas = []
+        self._sizes_base = self.t_sizes.read(spark, v)
+        self._sizes_deltas = []
         self._trace_base = self.t_trace.read(spark, v)
         self._trace_deltas = []
         self._lineage_base = self.t_lineage.read(spark, v)
@@ -271,6 +320,7 @@ class CrawlEngine:
         else:
             self._trace_count = self._trace_base.count()
         self._round = self.round_number()
+        self._queue_grp_counts = None
         self._dirty = False
 
     @property
@@ -328,7 +378,7 @@ class CrawlEngine:
     def rollback(self, version: int) -> None:
         """Resume-from-any-snapshot: point every table at ``version``."""
         for t in (self.t_frontier, self.t_seen, self.t_bloom, self.t_extracted,
-                  self.t_trace, self.t_lineage):
+                  self.t_rawmap, self.t_sizes, self.t_trace, self.t_lineage):
             t.rollback(version)
         self._load_state()
 
@@ -353,8 +403,60 @@ class CrawlEngine:
     def seen_df(self) -> DataFrame:
         return self._get("seen", self.t_seen)
 
+    def _empty(self, schema: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _ext_parts(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(rows, rawmap, sizes) as of the current state (committed
+        base ∪ in-memory round deltas)."""
+        spark = self.spark
+        if self._state is None:
+            v = self.version
+            rows = self.t_extracted.read(spark, v)
+            rawmap = self.t_rawmap.read(spark, v)
+            sizes = self.t_sizes.read(spark, v)
+            rows = rows if rows is not None else self._empty(EXT_ROW_SCHEMA)
+            return rows, rawmap, sizes
+        rows = self._ext_base if self._ext_base is not None else self._empty(
+            EXT_ROW_SCHEMA)
+        rows = self._with_deltas(rows, self._ext_deltas)
+        rawmap = self._with_deltas(self._rawmap_base, self._rawmap_deltas)
+        sizes = self._with_deltas(self._sizes_base, self._sizes_deltas)
+        return rows, rawmap, sizes
+
     def extracted_df(self) -> DataFrame:
-        return self._get("extracted", self.t_extracted)
+        """The reference-shaped extracted view (EXTRACTED_SCHEMA),
+        merge-on-read: immutable rows ⋈ the raw-link log (max per
+        download_url — the reference's every-row coalesce semantics,
+        selenium_scraper.py:280-345) ⋈ the HEAD-probe size log. The two
+        joins are against narrow key→value maps bounded by fetched
+        download pages, not by crawl history."""
+        rows, rawmap, sizes = self._ext_parts()
+        fill = (
+            rawmap.filter(F.col("download_url") != "")
+            .groupBy("download_url")
+            .agg(F.max("raw_link").alias("_rl"))
+        )
+        szs = sizes.groupBy("raw_download_link").agg(
+            F.max("download_size").alias("download_size")
+        )
+        return (
+            rows.join(fill, "download_url", "left")
+            .withColumn("raw_download_link", F.coalesce(F.col("_rl"), F.lit("")))
+            .drop("_rl")
+            .join(szs, "raw_download_link", "left")
+            .withColumn(
+                "extracted_text",
+                F.concat_ws(
+                    FIELD_SEP, "download_url", "image_url", "tags",
+                    "raw_download_link",
+                ),
+            )
+            .select(
+                "url", "download_url", "image_url", "tags",
+                "raw_download_link", "download_size", "extracted_text",
+            )
+        )
 
     def trace_df(self) -> DataFrame:
         if self._state is None:
@@ -401,44 +503,84 @@ class CrawlEngine:
         s = self._state
         # Incremental commit: the queue (the only shrinking/rewritten
         # part of the frontier) is written in full; everything that only
-        # GROWS — done history, seen keys, trace, lineage — is committed
-        # as appended delta segments, byte-reusing every parent data dir
-        # (sources/snapshots.py). Extracted (raw-link coalesce mutates
-        # rows) and bloom (bitmaps mutate) rewrite; both are bounded by
-        # detail pages / bucket count, not crawl history.
+        # GROWS — done history, seen keys, extracted rows, raw-link /
+        # size logs, trace, lineage — is committed as appended delta
+        # segments, byte-reusing every parent data dir
+        # (sources/snapshots.py). Only bloom (bitmaps mutate, bounded by
+        # bucket count) rewrites. Every ``compact_history_every``-th
+        # commit instead folds each append-only table's accumulated
+        # segments into one dir (full rewrite at that commit — O(size/K)
+        # amortized), bounding read fan-in on thousand-round crawls;
+        # extracted compacts per-bucket inside commit_delta.
         # All write jobs run concurrently; HEAD publication then happens
         # in strict order with the frontier LAST — its version is the
         # round's consistency point, so it must never land before the
         # others.
+        k = self.cfg.compact_history_every
+        fold = k is not None and v % k == 0
+        ext_delta = self._union_or_none(self._ext_deltas)
+        if ext_delta is not None:
+            ext_delta = ext_delta.withColumn(
+                "_bkt",
+                F.pmod(
+                    F.xxhash64("download_url"),
+                    F.lit(self.cfg.extracted_buckets),
+                ).cast("int"),
+            )
+
+        def commit_growing(table, deltas, full_df):
+            if fold:
+                table.commit(full_df, meta, version=v, publish=False)
+            else:
+                table.commit_append(
+                    self._union_or_none(deltas), meta, version=v, publish=False)
+
         writes = [
-            lambda: self.t_trace.commit_append(
-                self._union_or_none(self._trace_deltas), meta, version=v,
-                publish=False),
-            lambda: self.t_lineage.commit_append(
-                self._union_or_none(self._lineage_deltas), meta, version=v,
-                publish=False),
+            lambda: commit_growing(
+                self.t_trace, self._trace_deltas,
+                self._with_deltas(self._trace_base, self._trace_deltas)),
+            lambda: commit_growing(
+                self.t_lineage, self._lineage_deltas,
+                self._with_deltas(self._lineage_base, self._lineage_deltas)),
             lambda: (
                 # forget() shrank the seen set — append-only history
                 # can't express a delete, so this commit rewrites seen
                 # in full (rare: only re-crawl scheduling triggers it)
                 self.t_seen.commit(s["seen"], meta, version=v, publish=False)
-                if self._seen_full_rewrite
+                if self._seen_full_rewrite or fold
                 else self.t_seen.commit_append(
                     self._union_or_none(self._seen_deltas), meta, version=v,
                     publish=False)
             ),
-            lambda: self.t_extracted.commit(
-                s["extracted"], meta, version=v, publish=False),
+            lambda: self.t_extracted.commit_delta(
+                ext_delta, meta, version=v, publish=False, spark=self.spark),
+            lambda: commit_growing(
+                self.t_rawmap, self._rawmap_deltas,
+                self._with_deltas(self._rawmap_base, self._rawmap_deltas)),
+            lambda: commit_growing(
+                self.t_sizes, self._sizes_deltas,
+                self._with_deltas(self._sizes_base, self._sizes_deltas)),
             lambda: self.t_bloom.commit(
                 s["bloom"], meta, version=v, publish=False),
-            lambda: self.t_frontier.commit_with_history(
-                s["queue"], self._union_or_none(self._done_deltas), meta,
-                version=v, publish=False),
+            lambda: (
+                # frontier fold keeps the main=queue / history=done
+                # SPLIT (later incremental commits rewrite main): the
+                # accumulated done history compacts into one segment
+                self.t_frontier.commit_with_history(
+                    s["queue"],
+                    self._with_deltas(self._done_base, self._done_deltas),
+                    meta, version=v, publish=False, reset_history=True)
+                if fold
+                else self.t_frontier.commit_with_history(
+                    s["queue"], self._union_or_none(self._done_deltas), meta,
+                    version=v, publish=False)
+            ),
         ]
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             list(pool.map(lambda w: w(), writes))
         for t in (self.t_trace, self.t_lineage, self.t_seen,
-                  self.t_extracted, self.t_bloom, self.t_frontier):
+                  self.t_extracted, self.t_rawmap, self.t_sizes,
+                  self.t_bloom, self.t_frontier):
             t.publish_version(v)
         # re-point state at the committed files (clean lineage, no
         # dependence on the pre-commit plan)
@@ -452,11 +594,16 @@ class CrawlEngine:
             "queue": main.filter(F.col("state") == "QUEUED"),
             "seen": self.t_seen.read(spark, v),
             "bloom": self.t_bloom.read(spark, v),
-            "extracted": self.t_extracted.read(spark, v),
         }
         self._done_base = done
         self._done_deltas = []
         self._seen_deltas = []
+        self._ext_base = self.t_extracted.read(spark, v)
+        self._ext_deltas = []
+        self._rawmap_base = self.t_rawmap.read(spark, v)
+        self._rawmap_deltas = []
+        self._sizes_base = self.t_sizes.read(spark, v)
+        self._sizes_deltas = []
         self._trace_base = self.t_trace.read(spark, v)
         self._trace_deltas = []
         self._lineage_base = self.t_lineage.read(spark, v)
@@ -483,12 +630,28 @@ class CrawlEngine:
         queue = self._state["queue"]
         allowed, denied = robots_gate(queue, self.robots)
         # the rank's offsets collect IS the count — one job, not two;
-        # max_seq enables the sampling-free grouped rank
+        # max_seq enables the sampling-free grouped rank. In the
+        # global-budget regime the dequeue reads only a prefix of the
+        # priority-ordered groups (per-group counts maintained
+        # incrementally below), so a tiny dequeue never shuffles or
+        # window-sorts a 10^10-row queue.
         deq_info: dict = {}
-        dequeued = dequeue(
-            allowed, cfg.politeness_budget, cfg.global_budget, info=deq_info,
-            max_seq=self._max_seq,
-        ).cache()
+        use_pruned = cfg.global_budget is not None
+        if use_pruned:
+            if self._queue_grp_counts is None:
+                # one narrow count scan on attach; incremental afterwards
+                self._queue_grp_counts = grouped_counts(
+                    queue, stable_dequeue_group_expr()
+                )
+            dequeued = dequeue_pruned(
+                allowed, cfg.politeness_budget, cfg.global_budget,
+                self._queue_grp_counts, info=deq_info,
+            ).cache()
+        else:
+            dequeued = dequeue(
+                allowed, cfg.politeness_budget, cfg.global_budget, info=deq_info,
+                max_seq=self._max_seq,
+            ).cache()
         n_deq = deq_info["n"]
         self._pending_unpersist.extend(deq_info.get("persisted", []))
         if self.robots is not None and (cfg.detailed_metrics or n_deq == 0):
@@ -699,72 +862,44 @@ class CrawlEngine:
         seen2 = seen.unionByName(seen_delta)
         bloom2 = self.bloom.merge(bloom_df, new_front.select("bucket", "url_hash"))
 
-        # ---- extracted: new detail rows + raw-link fills. The fill is
-        # keyed by DOWNLOAD_URL, not by the one parent that enqueued the
-        # download page: the reference re-fetches the download page for
-        # EVERY row (scrape_raw_map_download_links has no seen check,
-        # selenium_scraper.py:280-345), so every row sharing a
-        # download_url gets the link. The engine fetches each download
-        # page once and instead joins an accumulated
-        # (download_url → raw_link) map: this round's download fetches ∪
-        # links already recorded in extracted — the union term covers
-        # detail rows extracted AFTER their download_url was fetched
-        # (the seen set suppresses the re-fetch). The map is bounded by
-        # fetched download pages, not crawl history.
-        extracted = self._state["extracted"]
+        # ---- extracted: merge-on-read appends, never a rewrite. The
+        # reference mutates its whole projects.csv in place — raw-link
+        # fills keyed by DOWNLOAD_URL hit every row sharing the url
+        # (scrape_raw_map_download_links has no seen check,
+        # selenium_scraper.py:280-345), and the HEAD probe fills
+        # download_size (:520-573). Here the row facts are immutable
+        # appends and both mutations are append-only key→value logs
+        # (rawmap: this round's download fetches; sizes: HEAD probes of
+        # the round's NEWLY-learned links only) applied at read time by
+        # ``extracted_df``. Rows born after their download page was
+        # fetched need no special case — the read-time join sees the
+        # whole log. Per-round cost is O(round), independent of crawl
+        # history (round 2's fix for the last O(history) cost).
         new_ext = ext.filter(F.col("kind") == "detail").select(
-            "url",
-            "download_url",
-            "image_url",
-            "tags",
-            F.lit("").alias("raw_download_link"),
-            F.lit(None).cast("long").alias("download_size"),
+            "url", "download_url", "image_url", "tags"
         )
         raw_new = ext.filter(F.col("kind") == "download").select(
-            F.col("url").alias("download_url"), F.col("raw_link").alias("_new_raw")
+            F.col("url").alias("download_url"), F.col("raw_link").alias("raw_link")
         )
-        raw_known = extracted.filter(
-            (F.col("raw_download_link") != "") & (F.col("download_url") != "")
-        ).select("download_url", F.col("raw_download_link").alias("_new_raw"))
-        raw_map = (
-            raw_new.unionByName(raw_known)
-            .groupBy("download_url")
-            .agg(F.max("_new_raw").alias("_new_raw"))
-        )
-        ext_all = (
-            extracted.select(
-                "url", "download_url", "image_url", "tags", "raw_download_link",
-                "download_size",
-            )
-            .unionByName(new_ext)
-            .join(raw_map, "download_url", "left")
-            .withColumn(
-                "raw_download_link",
-                F.coalesce(F.col("_new_raw"), F.col("raw_download_link")),
-            )
-            .drop("_new_raw")
-        )
+        sizes_delta = None
         if self.artifacts is not None:
-            # S6 HEAD probe: fill download_size for rows that (now) have
-            # a raw link but no size — metadata-only, body never moves
-            probe_pred = (F.col("raw_download_link") != "") & F.col(
-                "download_size"
-            ).isNull()
-            probed_sz = TableFetcher(self.artifacts).head(
-                ext_all.filter(probe_pred).drop("download_size"),
-                url_col="raw_download_link",
+            # S6 HEAD probe, metadata-only: one probe per distinct link
+            # ever learned (an anti-join against the size log dedups
+            # links shared by several download pages; probe misses are
+            # recorded as NULL so the read view shows them as the
+            # reference's NaN). The body never moves.
+            known = self._with_deltas(
+                self._sizes_base, self._sizes_deltas
+            ).select("raw_download_link")
+            probe_keys = (
+                raw_new.filter(F.col("raw_link") != "")
+                .select(F.col("raw_link").alias("raw_download_link"))
+                .distinct()
+                .join(known, "raw_download_link", "left_anti")
             )
-            ext_all = ext_all.filter(~probe_pred).unionByName(probed_sz)
-        ext_all = ext_all.withColumn(
-            "extracted_text",
-            F.concat_ws(
-                FIELD_SEP,
-                "download_url",
-                "image_url",
-                "tags",
-                "raw_download_link",
-            ),
-        )
+            sizes_delta = TableFetcher(self.artifacts).head(
+                probe_keys, url_col="raw_download_link"
+            )
 
         # ---- trace delta (dequeue order is the explicit rank, never
         # physical row order); committed as an appended history segment
@@ -814,6 +949,22 @@ class CrawlEngine:
             lineage_delta = lineage_delta.unionByName(part_rows)
         tick("metrics")
 
+        # ---- maintain per-group queue counts for the pruned dequeue:
+        # rows that left (dequeued/denied) and rows that arrived
+        # (new_front), counted by their stable priority group — three
+        # tiny jobs over this round's cached intermediates, so the next
+        # dequeue needs no count scan.
+        if use_pruned:
+            gexpr = stable_dequeue_group_expr()
+            gc_counts = self._queue_grp_counts
+            moves = [(dequeued, -1), (new_front, +1)]
+            if self.robots is not None:
+                moves.append((denied, -1))
+            for df, sign in moves:
+                for g, n in grouped_counts(df, gexpr).items():
+                    gc_counts[g] = gc_counts.get(g, 0) + sign * n
+            self._queue_grp_counts = {g: n for g, n in gc_counts.items() if n > 0}
+
         # ---- publish the round: in-memory state always; snapshot commit
         # at the configured cadence (frontier commit last = the round's
         # consistency point). Append-only sides (done/seen/trace/lineage
@@ -825,10 +976,13 @@ class CrawlEngine:
             "queue": queue2.coalesce(n_parts),
             "seen": seen2.coalesce(n_parts),
             "bloom": bloom2,
-            "extracted": ext_all.coalesce(n_parts),
         }
         self._done_deltas.append(done_delta.coalesce(n_parts))
         self._seen_deltas.append(seen_delta.coalesce(n_parts))
+        self._ext_deltas.append(new_ext.coalesce(n_parts))
+        self._rawmap_deltas.append(raw_new.coalesce(n_parts))
+        if sizes_delta is not None:
+            self._sizes_deltas.append(sizes_delta.coalesce(8))
         self._trace_deltas.append(trace_delta.coalesce(n_parts))
         self._lineage_deltas.append(lineage_delta.coalesce(8))
         self._round = r
@@ -841,10 +995,11 @@ class CrawlEngine:
             tick("snapshot_commit")
         else:
             # truncate lineage of the tables every round consumes
-            # (queue/seen/bloom feed the next dequeue + dedup;
-            # extracted feeds the next raw-link merge). The append-only
-            # delta lists are only read at commit time — leave them as
-            # lazy views over this round's caches.
+            # (queue/seen/bloom feed the next dequeue + dedup). The
+            # extracted side is all append-only now — its deltas (like
+            # trace/lineage) stay lazy views over this round's caches
+            # until commit, so it no longer needs a per-round
+            # checkpoint at all.
             # The checkpoints are independent jobs — run them
             # concurrently so the driver pays one barrier, not four.
             # NOTE: the eager materialization is load-bearing, not just a
@@ -854,7 +1009,7 @@ class CrawlEngine:
             # tree ~5× (rest/ext/new all read the prior frontier), so
             # plan size — and the plan-description walk every action
             # performs — grows 5^rounds.
-            keys = ("queue", "seen", "bloom", "extracted")
+            keys = ("queue", "seen", "bloom")
 
             def _materialize(k: str):
                 t = time.time()

@@ -98,16 +98,25 @@ class SnapshotTable:
                             delta_df: DataFrame | None,
                             meta: dict[str, Any] | None = None,
                             version: int | None = None,
-                            publish: bool = True) -> int:
+                            publish: bool = True,
+                            reset_history: bool = False) -> int:
         """Write ``main_df`` (or reuse the parent's main dir if None)
-        plus an appended ``delta_df`` history segment (if not None)."""
+        plus an appended ``delta_df`` history segment (if not None).
+        ``reset_history=True`` drops the inherited segment list so the
+        written delta becomes the ONLY history segment — the compaction
+        commit: ``delta_df`` must then be the full accumulated history
+        (parent manifests still pin the old segments for time travel)."""
         if version is None:
             parent = self.current_version()
             version = (parent or 0) + 1
         else:
             parent = version - 1 if version > 1 else None
         parent_manifest = self.manifest(parent) if parent else None
-        history = list(parent_manifest.get("history", [])) if parent_manifest else []
+        history = (
+            [] if reset_history
+            else list(parent_manifest.get("history", [])) if parent_manifest
+            else []
+        )
         token = uuid.uuid4().hex[:8]
         if main_df is not None:
             data_path = os.path.join(self.dir, "data", f"v{version}-{token}")
@@ -193,3 +202,128 @@ class SnapshotTable:
 
     def exists(self) -> bool:
         return self.current_version() is not None
+
+
+class BucketedSnapshotTable(SnapshotTable):
+    """Snapshot table whose rows are clustered into ``n_buckets`` hash
+    buckets of a caller-chosen key, each bucket owning an ordered list
+    of immutable parquet segments (Iceberg bucket-partitioning +
+    manifest-per-partition, over plain parquet).
+
+    Why: a commit touches only the buckets it writes — every other
+    bucket's segment list carries over BY REFERENCE, so per-commit I/O
+    is O(delta), never O(table), and key-targeted readers
+    (``read_buckets``) open only the files that can contain their keys.
+    This is the at-rest shape for the crawl's ``extracted`` table
+    (VERDICT round 2: the full-table join+rewrite per round was the
+    last O(crawl-history) cost).
+
+    Writes take a DataFrame carrying an int ``_bkt`` column (the
+    caller's ``pmod(xxhash64(key), P)``); it is written as a parquet
+    partition directory and NOT stored in the data files — readers
+    re-derive it from the key when they need it.
+
+    Per-bucket compaction is folded into the commit: any bucket whose
+    segment list would exceed ``max_segments`` is rewritten as ONE
+    segment (read its list ∪ the new delta, write once), bounding read
+    fan-in at O(max_segments) files per bucket with O(size/K)
+    amortized write cost — the LSM discipline."""
+
+    def __init__(self, root: str, name: str, max_segments: int = 8):
+        super().__init__(root, name)
+        self.max_segments = max_segments
+
+    @staticmethod
+    def _materialized_buckets(path: str) -> dict[int, str]:
+        out = {}
+        if os.path.isdir(path):
+            for fn in os.listdir(path):
+                if fn.startswith("_bkt="):
+                    out[int(fn.split("=", 1)[1])] = os.path.join(path, fn)
+        return out
+
+    def commit_delta(self, delta_df: DataFrame | None,
+                     meta: dict[str, Any] | None = None,
+                     version: int | None = None, publish: bool = True,
+                     spark: SparkSession | None = None) -> int:
+        """Append ``delta_df`` (with ``_bkt``) as one new segment per
+        materialized bucket; compact any bucket whose list overflows."""
+        if version is None:
+            parent = self.current_version()
+            version = (parent or 0) + 1
+        else:
+            parent = version - 1 if version > 1 else None
+        parent_manifest = self.manifest(parent) if parent else None
+        buckets: dict[str, list[str]] = (
+            {k: list(v) for k, v in parent_manifest.get("buckets", {}).items()}
+            if parent_manifest else {}
+        )
+        token = uuid.uuid4().hex[:8]
+        if delta_df is not None:
+            spark = spark or delta_df.sparkSession
+            delta_dir = os.path.join(self.dir, "data", f"v{version}-{token}-delta")
+            delta_df.write.mode("errorifexists").partitionBy("_bkt").parquet(delta_dir)
+            for b, p in self._materialized_buckets(delta_dir).items():
+                buckets.setdefault(str(b), []).append(p)
+        # fold overflowing buckets into single segments (their parent
+        # files stop being referenced from THIS version on; earlier
+        # manifests still pin them, so time travel is unaffected)
+        overflow = {
+            int(b): paths for b, paths in buckets.items()
+            if len(paths) > self.max_segments
+        }
+        if overflow:
+            if spark is None:
+                raise ValueError("compaction requires a SparkSession")
+            from functools import reduce
+
+            from pyspark.sql import functions as F
+            fold = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    spark.read.parquet(*paths).withColumn(
+                        "_bkt", F.lit(b).cast("int"))
+                    for b, paths in overflow.items()
+                ],
+            )
+            fold_dir = os.path.join(self.dir, "data", f"v{version}-{token}-fold")
+            fold.write.mode("errorifexists").partitionBy("_bkt").parquet(fold_dir)
+            folded = self._materialized_buckets(fold_dir)
+            for b in overflow:
+                # a bucket whose rows all filtered out still resets to []
+                buckets[str(b)] = [folded[b]] if b in folded else []
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "buckets": buckets,
+            "meta": meta or {},
+        }
+        mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        if publish:
+            self.publish_version(version)
+        return version
+
+    def bucket_paths(self, version: int | None = None) -> dict[int, list[str]]:
+        m = self.manifest(version)
+        return {int(b): list(p) for b, p in m.get("buckets", {}).items()}
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        paths = [p for ps in self.bucket_paths(version).values() for p in ps]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_buckets(self, spark: SparkSession, buckets,
+                     version: int | None = None) -> DataFrame | None:
+        """Only the segments of ``buckets`` — the key-pruned scan."""
+        want = set(int(b) for b in buckets)
+        paths = [
+            p for b, ps in self.bucket_paths(version).items()
+            if b in want for p in ps
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
