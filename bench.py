@@ -65,7 +65,7 @@ LOW_EXECUTORS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW_EXECUTORS", "1"))
 HIGH_EXECUTORS = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_EXECUTORS", "4"))
 EXECUTOR_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_CORES", "1"))
 EXECUTOR_MEM_MB = 8192
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # Frontier size: big rounds amortize the per-round driver barrier (the
 # round-1 failure mode was many small Spark jobs per round flooring
@@ -221,6 +221,9 @@ def crawl_bench(executors: int) -> dict:
             "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_BENCH_AQE", "true"),
         },
     )
+    # keep the bench log clean: plan-string truncation notices (the
+    # mitigation working as configured) and AQE chatter are WARN-level
+    spark.sparkContext.setLogLevel("ERROR")
     cfg = CrawlConfig(
         politeness_budget=BUDGET,
         n_buckets=64,
@@ -273,6 +276,7 @@ def query_suite(cores: int) -> dict[str, float]:
 
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = "64g"
     spark = get_spark("bench-queries", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     qs = em.queries()
     for name in sorted(em.oracle_sql()):
@@ -311,7 +315,10 @@ def _write_baseline_md(out: dict, low: dict, high: dict) -> None:
         f"| {ex_hi} executors ({high['cores']} cores) | {high['urls']} | {high['wall_sec']} | {high['urls_per_sec']} |",
         "",
         f"**Scaling efficiency N→4N executors (same input): "
-        f"{out['scaling_efficiency']}** — computed as thr_4N / (4 · thr_N).",
+        f"{out['scaling_efficiency']}** (best epoch) — computed as "
+        f"thr_4N / (4 · thr_N); **median across {REPS} epochs: "
+        f"{out['scaling_efficiency_median']}** (the robust headline; the"
+        f" full per-epoch spread is in BENCH_r{{N}}.json `scaling_epochs`).",
         "",
         "Per-stage wall (the reported epoch's run at each level):",
         "",
@@ -433,6 +440,13 @@ def main() -> None:
         }
         for lo, hi in epochs
     ]
+    # median-epoch efficiency: robust to one lucky/unlucky epoch — the
+    # defensible headline alongside the best-epoch number
+    effs = sorted(e["eff"] for e in epoch_diag)
+    mid = len(effs) // 2
+    efficiency_median = round(
+        effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2, 3
+    )
     timings = query_suite(CPUS)  # query suite uses all cores (JVM-side ops scale fine)
     crawl_key_low = f"crawl_{LOW_EXECUTORS}exec"
     crawl_key_high = f"crawl_{HIGH_EXECUTORS}exec"
@@ -451,6 +465,7 @@ def main() -> None:
         "urls_per_sec_%dexec" % LOW_EXECUTORS: low["urls_per_sec"],
         "urls_per_sec_%dexec" % HIGH_EXECUTORS: high["urls_per_sec"],
         "scaling_efficiency": efficiency,
+        "scaling_efficiency_median": efficiency_median,
         "scaling_epochs": epoch_diag,
     }
     _write_baseline_md(out, low, high)
