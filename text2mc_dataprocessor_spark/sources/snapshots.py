@@ -260,8 +260,15 @@ class BucketedSnapshotTable(SnapshotTable):
         )
         token = uuid.uuid4().hex[:8]
         if delta_df is not None:
+            from pyspark.sql import functions as F
+
             spark = spark or delta_df.sparkSession
             delta_dir = os.path.join(self.dir, "data", f"v{version}-{token}-delta")
+            # cluster by bucket before the partitioned write: otherwise
+            # every input partition opens a writer per bucket it sees —
+            # up to P·tasks small files per commit; hash-clustered, each
+            # bucket is written by exactly one task → P files total
+            delta_df = delta_df.repartition(F.col("_bkt"))
             delta_df.write.mode("errorifexists").partitionBy("_bkt").parquet(delta_dir)
             for b, p in self._materialized_buckets(delta_dir).items():
                 buckets.setdefault(str(b), []).append(p)
@@ -287,6 +294,7 @@ class BucketedSnapshotTable(SnapshotTable):
                 ],
             )
             fold_dir = os.path.join(self.dir, "data", f"v{version}-{token}-fold")
+            fold = fold.repartition(F.col("_bkt"))
             fold.write.mode("errorifexists").partitionBy("_bkt").parquet(fold_dir)
             folded = self._materialized_buckets(fold_dir)
             for b in overflow:
