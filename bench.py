@@ -375,6 +375,21 @@ def _write_baseline_md(out: dict, low: dict, high: dict) -> None:
         "- fetch emulation at fetch time (cost ∝ dequeued URLs) instead of",
         "  a cached corpus-wide pages table, which at round-1 sizes spent",
         "  executor memory + a corpus-sized scan per round.",
+        "",
+        "Round-3 engine changes visible in this record:",
+        "",
+        "- the extracted table is merge-on-read (immutable bucketed row",
+        "  appends + append-only raw-link/size logs joined at read):",
+        "  extracted left the per-round localCheckpoint set and the",
+        "  commit writes narrow un-joined rows — 1-exec wall dropped",
+        "  ~580s → ~460s vs round 2 at identical input.",
+        "- bucketed deltas hash-cluster on _bkt before the partitioned",
+        "  write (one writer task per bucket, P files instead of",
+        "  P×tasks): snapshot_commit 15.1s → ~9s at 4 executors.",
+        "- ≥3 interleaved epochs with the median-epoch efficiency",
+        "  reported alongside best-epoch (the round-2 record's single",
+        "  >1.0 epoch invited skepticism; the median is the robust",
+        "  headline).",
     ]
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"), "w") as f:

@@ -1634,5 +1634,54 @@ def crawl_rounds_extracted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.extracted_df()
 
 
+@_q(
+    "json_sink_dims",
+    """
+    WITH blocks AS (
+        SELECT CAST(range % 4 AS BIGINT) AS build_id,
+               CAST(range % 17 AS INT) + CAST(range % 4 AS INT) * 100 AS x,
+               CAST(range % 23 AS INT) AS y,
+               CAST(range % 11 AS INT) AS z
+        FROM range(2048)
+    ), cells AS (
+        SELECT DISTINCT build_id, x, y, z FROM blocks
+    )
+    SELECT build_id,
+           CAST(max(x) - min(x) + 1 AS BIGINT) AS width,
+           CAST(max(y) - min(y) + 1 AS BIGINT) AS height,
+           CAST(max(z) - min(z) + 1 AS BIGINT) AS length,
+           count(*) AS n_blocks
+    FROM cells GROUP BY build_id
+    """,
+)
+def json_sink_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — the block-JSON sink (the schematic-loader sidecar format,
+    world2vec.py:546-566): per-build docs are built by the grouped-Arrow
+    sink, then the dims the SINK wrote into ``worldDimensions`` are
+    parsed back out of the JSON strings and checked against SQL
+    computing the same boxes from the raw cells — a wrong doc breaks
+    the hash. Full content roundtrip (S13 → S10 reader) is asserted in
+    tests/test_hdf5_sink.py."""
+    from .sources.hdf5 import blocks_to_build_json
+
+    d = F.col("id")
+    blocks = spark.range(2048).select(
+        (d % 4).alias("build_id"),
+        ((d % 17).cast("int") + (d % 4).cast("int") * 100).alias("x"),
+        (d % 23).cast("int").alias("y"),
+        (d % 11).cast("int").alias("z"),
+        F.lit("minecraft:stone").alias("block"),
+    ).dropDuplicates(["build_id", "x", "y", "z"])
+    docs = blocks_to_build_json(blocks)
+    g = lambda p: F.get_json_object("doc", p)  # noqa: E731
+    return docs.select(
+        "build_id",
+        g("$.worldDimensions.width").cast("long").alias("width"),
+        g("$.worldDimensions.height").cast("long").alias("height"),
+        g("$.worldDimensions.length").cast("long").alias("length"),
+        "n_blocks",
+    )
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)
