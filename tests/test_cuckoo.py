@@ -57,6 +57,40 @@ def test_contains_many_matches_scalar():
     assert (vec == scalar).all()
 
 
+def test_insert_many_parity_with_scalar_path():
+    """Vectorized batch insert ≡ scalar loop in membership: a key may
+    land in its alternate bucket or a different slot, but contains()
+    probes both buckets, so no inserted key may ever probe unseen, and
+    the false-positive surface must stay the same order."""
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-(2**62), 2**62, size=8000, dtype=np.int64)
+    vec = CuckooFilter(capacity=10_000)
+    vec.insert_many(keys)
+    scalar = CuckooFilter(capacity=10_000)
+    for k in keys:
+        assert scalar.insert(int(k))
+    # zero false negatives on both paths
+    assert vec.contains_many(keys).all()
+    assert scalar.contains_many(keys).all()
+    # same stored-fingerprint population (multiset of slots used)
+    assert (vec.table != 0).sum() == (scalar.table != 0).sum()
+    fresh = rng.integers(2**62, 2**63 - 1, size=20_000, dtype=np.int64)
+    assert abs(int(vec.contains_many(fresh).sum())
+               - int(scalar.contains_many(fresh).sum())) < 40
+
+
+def test_insert_many_eviction_fallback_at_high_load():
+    """Push a table to ~94% load so the scalar eviction fallback
+    actually runs (4-way cuckoo needs kicks well before that), then
+    verify zero false negatives and duplicate-batch handling
+    (duplicates occupy multiple slots, like repeated scalar inserts)."""
+    cf = CuckooFilter(capacity=600)  # 256 buckets × 4 slots = 1024
+    keys = np.arange(910, dtype=np.int64)
+    cf.insert_many(np.concatenate([keys, keys[:50]]))  # dups in-batch
+    assert cf.contains_many(keys).all()
+    assert (cf.table != 0).sum() == 960
+
+
 def test_cuckoo_seen_set_no_false_negatives(spark):
     """Distributed CuckooSeenSet: build → probe, zero false negatives
     (same property contract as the Bloom suite), then delete → the

@@ -75,6 +75,22 @@ def test_pruned_widens_when_hot_host_concentrates_prefix(spark):
     q.unpersist()
 
 
+def test_pruned_survives_stale_undercounting_counts(spark):
+    """Safety net: if a future queue-mutation path forgets to update
+    grp_counts, the terminal 'whole' pass must dequeue the UNFILTERED
+    queue — stale counts may cost performance, never rows."""
+    q = _queue(spark, n=500, hosts=5).cache()
+    full_counts = grouped_counts(q, stable_dequeue_group_expr())
+    # simulate drift: the counts have never heard of the highest groups
+    known = sorted(g for g, n in full_counts.items() if n > 0)
+    stale = {g: n for g, n in full_counts.items() if g <= known[len(known) // 2]}
+    pruned = dequeue_pruned(q, politeness_budget=100, global_budget=400,
+                            grp_counts=stale)
+    plain = dequeue(q, politeness_budget=100, global_budget=400, max_seq=500)
+    _cmp(pruned, plain)
+    q.unpersist()
+
+
 def test_pruned_handles_exhaustion_and_empty(spark):
     q = _queue(spark, n=30, hosts=3).cache()
     counts = grouped_counts(q, stable_dequeue_group_expr())

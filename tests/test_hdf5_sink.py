@@ -28,6 +28,29 @@ def test_assemble_dense_rebases_and_fills():
     assert arr.sum() == 6  # everything else stayed fill
 
 
+def test_assemble_dense_duplicate_cells_deterministic():
+    # Spark gives no deterministic row order inside a group: a duplicate
+    # (x,y,z) must resolve the same way regardless of incoming order —
+    # max token wins (sort by (x,y,z,token) + last-write-wins)
+    a = pd.DataFrame({"x": [0, 0], "y": [0, 0], "z": [0, 0], "token": [5, 9]})
+    b = a.iloc[::-1].reset_index(drop=True)
+    assert assemble_dense(a)[0, 0, 0] == 9
+    assert assemble_dense(b)[0, 0, 0] == 9
+
+
+def test_write_builds_hdf5_creates_missing_out_dir(spark, tmp_path):
+    out_dir = str(tmp_path / "nested" / "not_yet")
+    blocks = spark.createDataFrame(
+        [(0, 0, 0, 0, 1)], "build_id long, x int, y int, z int, token long"
+    )
+    out = write_builds_hdf5(
+        blocks, out_dir, writer=lambda p, n, a: np.save(p + ".npy", a)
+    ).toPandas()
+    # the env problem must NOT degrade into per-build X4 error rows
+    assert out.error.iloc[0] is None
+    assert os.path.isdir(out_dir)
+
+
 def test_assemble_dense_bbox_guard():
     pdf = pd.DataFrame({"x": [0, 10**4], "y": [0, 10**4], "z": [0, 10**3],
                         "token": [1, 1]})

@@ -102,17 +102,59 @@ class CuckooFilter:
         return hit1 | hit2
 
     def insert_many(self, keys: np.ndarray) -> None:
-        """Insert a key batch (eviction chains are inherently
-        sequential, so inserts loop per key — the probe path is the
-        vectorized hot path; inserts touch only each round's NEW urls).
+        """Insert a key batch. The no-eviction path — by far the common
+        case at the sized ≤84% load — is fully vectorized: fingerprints
+        and both candidate buckets are computed batch-wide (same uint64
+        math as ``contains_many``), then each key is scatter-placed into
+        the j-th empty slot of its bucket, where j is the key's stable
+        within-bucket rank. Only keys whose both buckets fill up fall to
+        the scalar eviction-chain ``insert`` (inherently sequential).
+        Membership is equivalent to the scalar loop — a key may land in
+        its alternate bucket or a different slot, but ``contains`` checks
+        both buckets and ignores slot order (parity-tested in
+        tests/test_cuckoo.py).
+
         Raises if a bucket's table saturates — unlike the Bloom path,
         which degrades (higher FPR) instead of failing, a full cuckoo
         table has nowhere to put a fingerprint. Size
         ``capacity_per_bucket ≥ expected urls / n_buckets / 0.84``
         (4-slot cuckoo tables stay insertable to ~95% load; 84% leaves
         skew headroom) so the whole merge job never hits this."""
-        for k in keys:
-            if not self.insert(int(k)):
+        keys = np.ascontiguousarray(np.asarray(keys).astype(np.int64))
+        if keys.size == 0:
+            return
+        with np.errstate(over="ignore"):
+            k = keys.view(np.uint64)
+            h = (k ^ (k >> np.uint64(33))) * _FP_MIX
+            fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+            fp[fp == 0] = 1
+            i1 = (k & self._mask).astype(np.int64)
+            alt_h = fp.astype(np.uint64) * _FP_MIX
+            i2 = ((i1.view(np.uint64) ^ alt_h) & self._mask).astype(np.int64)
+        pending = np.arange(keys.size)
+        for target in (i1, i2):
+            if pending.size == 0:
+                break
+            b = target[pending]
+            ub, inv = np.unique(b, return_inverse=True)
+            rows = self.table[ub]  # (U, 4) — touched buckets only
+            is_empty = rows == 0
+            n_empty = is_empty.sum(axis=1)
+            # j-th empty slot index per bucket (empties sort first, stable)
+            empty_pos = np.argsort(~is_empty, axis=1, kind="stable")
+            # stable within-bucket rank of each pending key
+            order = np.argsort(inv, kind="stable")
+            sorted_inv = inv[order]
+            group_start = np.searchsorted(sorted_inv, np.arange(len(ub)))
+            ranks = np.empty(len(b), dtype=np.int64)
+            ranks[order] = np.arange(len(b)) - group_start[sorted_inv]
+            fits = ranks < n_empty[inv]
+            if fits.any():
+                sel = pending[fits]
+                self.table[b[fits], empty_pos[inv[fits], ranks[fits]]] = fp[sel]
+            pending = pending[~fits]
+        for idx in pending:  # eviction chains — sequential by nature
+            if not self.insert(int(keys[idx])):
                 raise ValueError(
                     "cuckoo filter bucket saturated — increase "
                     "capacity_per_bucket or n_buckets"

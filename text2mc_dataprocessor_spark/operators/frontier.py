@@ -255,7 +255,12 @@ def dequeue_pruned(queued: DataFrame, politeness_budget: int,
             if cum >= target:
                 break
         whole = prefix_max is None or prefix_max >= (groups[-1] if groups else 0)
-        sub = queued if prefix_max is None else queued.filter(expr <= F.lit(prefix_max))
+        # Once the prefix covers every KNOWN group, filter nothing: the
+        # full dequeue costs the same at that point, and it makes stale
+        # grp_counts (a future queue-mutation path that forgets to update
+        # them) a pure performance bug, never a correctness one — rows in
+        # groups the counts have never heard of still get dequeued.
+        sub = queued if whole else queued.filter(expr <= F.lit(prefix_max))
         sub_info: dict = {}
         picked = dequeue(
             sub, politeness_budget, None, info=sub_info,

@@ -1614,6 +1614,8 @@ def crawl_rounds_extracted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup, raw-link coalescing, or extraction bytes breaks the hash
     match. Byte-identity vs the reference-semantics python oracle is
     additionally asserted in tests/test_crawl_order.py."""
+    import atexit
+    import shutil
     import tempfile
 
     from .plans.crawl import CrawlConfig, CrawlEngine
@@ -1622,7 +1624,10 @@ def crawl_rounds_extracted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = generate_corpus(
         n_hosts=2, listing_pages_per_host=2, links_per_listing=4, seed=42
     )
+    # the returned DataFrame reads the snapshot tables lazily, so the
+    # workdir must outlive this call — reclaim it at interpreter exit
     workdir = tempfile.mkdtemp(prefix="crawl_round_q_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     eng = CrawlEngine(
         spark,
         workdir,

@@ -121,7 +121,8 @@ class HttpFetcher:
         max_bytes = self.max_bytes
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import urllib.request  # stdlib — no executor-side deps
+            import urllib.error  # stdlib — no executor-side deps
+            import urllib.request
 
             last_host_hit: dict[str, float] = {}
             for pdf in batches:
@@ -135,7 +136,15 @@ class HttpFetcher:
                             time.sleep(wait)
                     t0 = time.time()
                     try:
-                        with urllib.request.urlopen(r.url, timeout=timeout_s) as resp:
+                        try:
+                            resp = urllib.request.urlopen(r.url, timeout=timeout_s)
+                        except urllib.error.HTTPError as e:
+                            # Reference semantics: the status code is never
+                            # checked (selenium_scraper.py:581-600), so a
+                            # 4xx/5xx error-page body is content like any
+                            # other. HTTPError IS the response object.
+                            resp = e
+                        with resp:
                             buf = bytearray()
                             # stream in chunks (the reference downloads in
                             # 1 KiB chunks, selenium_scraper.py:598) so the
@@ -165,12 +174,28 @@ class HttpFetcher:
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import urllib.request  # stdlib — no executor-side deps
 
+            class _HeadRedirect(urllib.request.HTTPRedirectHandler):
+                """CPython's default redirect handler re-issues a redirected
+                HEAD as GET (the new Request is built without the method).
+                That breaks the probe contract — the body would start
+                streaming and the hit would register as a download on
+                redirecting hosts (mediafire-style links). Preserve HEAD
+                across redirects like requests.head(allow_redirects=True)
+                and the reference (selenium_scraper.py:557) do."""
+
+                def redirect_request(self, req, fp, code, msg, headers, newurl):
+                    new = super().redirect_request(req, fp, code, msg, headers, newurl)
+                    if new is not None and req.get_method() == "HEAD":
+                        new.method = "HEAD"
+                    return new
+
+            opener = urllib.request.build_opener(_HeadRedirect)
             for pdf in batches:
                 sizes = []
                 for u in pdf[url_col]:
                     try:
                         req = urllib.request.Request(u, method="HEAD")
-                        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                        with opener.open(req, timeout=timeout_s) as resp:
                             cl = resp.headers.get("Content-Length")
                         sizes.append(int(cl) if cl is not None else None)
                     except Exception:

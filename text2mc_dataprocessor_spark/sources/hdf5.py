@@ -51,6 +51,11 @@ def assemble_dense(pdf: pd.DataFrame, fill=0) -> np.ndarray:
     ys = pdf["y"].to_numpy(dtype=np.int64)
     zs = pdf["z"].to_numpy(dtype=np.int64)
     toks = pdf["token"].to_numpy(dtype=np.int64)
+    # Spark gives no deterministic row order inside a group; sort by
+    # (x, y, z, token) so a duplicate coordinate resolves to its MAX
+    # token under last-write-wins, not to whichever row arrived last
+    order = np.lexsort((toks, zs, ys, xs))
+    xs, ys, zs, toks = xs[order], ys[order], zs[order], toks[order]
     x0, y0, z0 = xs.min(), ys.min(), zs.min()
     dims = (int(xs.max() - x0 + 1), int(ys.max() - y0 + 1), int(zs.max() - z0 + 1))
     if dims[0] * dims[1] * dims[2] > MAX_CELLS:
@@ -89,6 +94,10 @@ def write_builds_hdf5(
     defaults to the h5py writer and is injectable for environments
     without h5py."""
     write = writer or _h5py_writer
+    # create the sink dir driver-side: a missing out_dir is an
+    # environmental misconfiguration, not a per-build failure — without
+    # this every build degrades into an X4 error row that callers can miss
+    os.makedirs(out_dir, exist_ok=True)
 
     def per_build(pdf: pd.DataFrame) -> pd.DataFrame:
         bid = int(pdf["build_id"].iloc[0])
