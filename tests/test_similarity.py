@@ -124,6 +124,72 @@ def test_ivf_recall_and_no_fabrication(spark, emb):
     assert hits / tot >= 0.5, hits / tot
 
 
+def test_ivf_at_rest_partition_pruning(spark, emb, tmp_path):
+    """The at-rest IVF flow: corpus written partitioned by list_id, a
+    query batch probes via a PARTITION FILTER — the scan must open only
+    the probed list directories (inputFiles ⊆ those dirs), and results
+    must match the in-memory equi-join variant exactly."""
+    import pandas as pd
+
+    from text2mc_dataprocessor_spark.operators.similarity import (
+        _nearest_lists_udf,
+        cosine_topk_ivf,
+        cosine_topk_ivf_at_rest,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_ivf_centroids(emb, n_lists=8, seed=7)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk_ivf_at_rest(
+        spark, path, queries, cents, k=5, n_probe=2
+    )  # ≤6 distinct lists of 8 → the scan is strictly pruned
+    got_pdf = got.toPandas()  # execute: scan metrics fill on execution
+    # plan gate: the probed scan touches ONLY the probed lists' partitions
+    probes = _nearest_lists_udf(cents, 2)
+    want_lists = {
+        int(l) for r in queries.select(probes(F.col("embedding")).alias("p")).collect()
+        for l in r.p
+    }
+    def scan_metrics(node):
+        # AQE wraps stages — descend through the final adaptive plan
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            return scan_metrics(node.executedPlan())
+        if "QueryStage" in name:
+            return scan_metrics(node.plan())
+        out = []
+        if "parquet" in name.lower():
+            m = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+            out.append(m)
+        for i in range(node.children().length()):
+            out += scan_metrics(node.children().apply(i))
+        return out
+
+    plan = got._jdf.queryExecution().executedPlan()
+    scans = scan_metrics(plan)
+    assert scans, "expected a parquet scan of the index"
+    n_total_files = len(spark.read.parquet(path).inputFiles())
+    for m in scans:
+        assert m["numPartitions"] == len(want_lists), (m, want_lists)
+        assert m["numFiles"] < n_total_files  # strictly pruned
+    # and the plan carries the partition filter (pruning, not post-scan)
+    plan_str = plan.toString()
+    assert "PartitionFilters" in plan_str and "list_id" in plan_str
+    # results ≡ the in-memory equi-join variant with the same index
+    mem = cosine_topk_ivf(emb, queries, k=5, n_probe=2, centroids=cents)
+    pd.testing.assert_frame_equal(
+        got_pdf.sort_values(["qid", "rank"]).reset_index(drop=True),
+        mem.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True),
+    )
+
+
 def test_ivf_index_reuse_and_partition_shape(spark, emb):
     """Train once, assign lists, reuse the centroid matrix: list ids
     cover [0, n_lists) and every corpus vector lands in exactly one

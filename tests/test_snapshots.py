@@ -197,6 +197,76 @@ def test_crawl_extracted_commits_are_pure_appends(spark, corpus, tmp_path):
         )
 
 
+def test_fold_bakes_fills_into_rows_and_resets_logs(spark, corpus, tmp_path):
+    """Every K-th commit bakes the merge-on-read raw-link/size fills
+    into the extracted rows (rl_fold/sz_fold) and replaces the rawmap/
+    sizes logs with their aggregated ≤1-row-per-key maps: the read view
+    is unchanged (equivalence vs an unfolded run, sizes path included),
+    rows at a fold version are all resolved, and the logs carry no
+    history fan-in — so ``extracted_df`` aggregates only the suffix
+    appended since the fold."""
+    import pandas as pd
+
+    from text2mc_dataprocessor_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from text2mc_dataprocessor_spark.sources.fixtures import (
+        pages_to_spark,
+        seeds_to_spark,
+    )
+
+    pages = pages_to_spark(spark, corpus)
+    seeds = seeds_to_spark(spark, corpus)
+    raws = sorted({r for r in corpus.golden["raw_download_link"] if r})
+    artifacts = spark.createDataFrame(
+        pd.DataFrame({"url": raws, "html": [b"y" * (50 + i) for i in range(len(raws))]}),
+        schema="url string, html binary",
+    )
+    runs = {}
+    for key, k in (("plain", None), ("folded", 2)):
+        eng = CrawlEngine(
+            spark, str(tmp_path / key), pages,
+            config=CrawlConfig(politeness_budget=3, n_buckets=8,
+                               compact_history_every=k),
+            artifacts=artifacts,
+        )
+        eng.init(seeds)
+        eng.run()
+        runs[key] = eng
+    for name in ("extracted_df", "trace_df"):
+        ga = getattr(runs["plain"], name)().toPandas()
+        gb = getattr(runs["folded"], name)().toPandas()
+        cols = sorted(ga.columns)
+        pd.testing.assert_frame_equal(
+            ga[cols].sort_values(cols).reset_index(drop=True),
+            gb[cols].sort_values(cols).reset_index(drop=True),
+        )
+    b = runs["folded"]
+    folds = [v for v in b.t_rawmap.versions() if v % 2 == 0 and v > 1]
+    assert folds
+    last_fold = max(folds)
+    # the fold version's logs are main-only aggregated maps
+    for t in (b.t_rawmap, b.t_sizes):
+        assert t.manifest(last_fold).get("history", []) == []
+    agg = b.t_rawmap.read_main(spark, last_fold).toPandas()
+    assert agg.download_url.is_unique
+    # rows at the fold version are fully resolved; rows appended after
+    # are pending (NULL rl_fold) until the next fold
+    at_fold = b.t_extracted.read(spark, last_fold).toPandas()
+    assert at_fold.rl_fold.notna().all()
+    assert (at_fold.sz_fold.dropna() > 0).any()
+    # resolved values must equal the read view's at that version
+    b2 = CrawlEngine.resume(
+        spark, str(tmp_path / "folded"), pages,
+        config=CrawlConfig(politeness_budget=3, n_buckets=8,
+                           compact_history_every=2),
+        version=last_fold,
+    )
+    view = b2.extracted_df().toPandas().set_index("url")
+    for _, row in at_fold.iterrows():
+        assert view.loc[row.url, "raw_download_link"] == row.rl_fold
+        vsz = view.loc[row.url, "download_size"]
+        assert (pd.isna(vsz) and pd.isna(row.sz_fold)) or vsz == row.sz_fold
+
+
 def test_history_compaction_preserves_state_and_bounds_fanin(spark, corpus, tmp_path):
     """compact_history_every=K: every K-th commit folds the append-only
     tables' segments into one dir; final state is identical to an

@@ -274,10 +274,22 @@ def dequeue_pruned(queued: DataFrame, politeness_budget: int,
                 info["prefix_max_group"] = prefix_max
                 info["prefix_rows"] = cum
             return picked.filter(F.col("dequeue_rank") <= global_budget)
-        # capped prefix too small (host concentration): widen and retry
+        # Capped prefix too small: widen proportionally to the observed
+        # yield and retry. Yield-proportional (not a fixed ×4) matters
+        # for the prune factor — a prefix that misses the budget by a few
+        # percent (rows filtered upstream by robots, or per-host caps
+        # shaving the tail) should widen by those few percent + slack, not
+        # quadruple; a hot-host-dominated prefix (yield ≈ politeness
+        # budget) still jumps in proportion to its shortfall. target
+        # strictly grows, so the loop is bounded by the whole queue.
+        yield_n = max(sub_info["n"], 1)
         for df in sub_info.get("persisted", []):
             df.unpersist()
-        target = max(target * 4, cum + 1)
+        target = max(
+            int(target * global_budget * 1.15 / yield_n) + 1,
+            cum + 1,
+            target + 1,
+        )
 
 
 def dequeue(queued: DataFrame, politeness_budget: int,

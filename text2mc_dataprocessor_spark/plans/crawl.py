@@ -65,12 +65,19 @@ EXTRACTED_SCHEMA = (
     "raw_download_link string, download_size long, extracted_text string"
 )
 #: at-rest row schema of the extracted table: immutable per-detail-page
-#: facts only. The two columns the reference MUTATES in place
+#: facts. The two columns the reference MUTATES in place
 #: (raw_download_link fills, HEAD-probed download_size —
 #: selenium_scraper.py:280-345, 520-573) are merge-on-read: they live
 #: in the append-only ``rawmap`` / ``sizes`` key→value logs and join in
 #: at read time, so no crawl round ever rewrites an extracted row.
-EXT_ROW_SCHEMA = "url string, download_url string, image_url string, tags string"
+#: ``rl_fold``/``sz_fold`` are the fills RESOLVED AS OF the last
+#: history-fold commit, baked into the rows there (NULL rl_fold marks a
+#: row appended since): between folds, reads aggregate only the log
+#: SUFFIX appended since the fold, not the whole history.
+EXT_ROW_SCHEMA = (
+    "url string, download_url string, image_url string, tags string, "
+    "rl_fold string, sz_fold long"
+)
 RAWMAP_SCHEMA = "download_url string, raw_link string"
 SIZES_SCHEMA = "raw_download_link string, download_size long"
 TRACE_SCHEMA = "dequeue_seq long, round int, url string, host string, kind string"
@@ -213,12 +220,18 @@ class CrawlEngine:
         self._done_deltas: list[DataFrame] = []
         self._seen_deltas: list[DataFrame] = []
         # extracted = bucketed immutable rows + append-only fill logs
-        # (merge-on-read; see EXT_ROW_SCHEMA)
+        # (merge-on-read; see EXT_ROW_SCHEMA). The logs are held SPLIT:
+        # ``main`` = the pre-aggregated key→value map written at the
+        # last history fold (one row per key), ``sfx`` = segments
+        # appended since + this round's in-memory deltas — reads
+        # aggregate only the suffix.
         self._ext_base: DataFrame | None = None
         self._ext_deltas: list[DataFrame] = []
-        self._rawmap_base: DataFrame | None = None
+        self._rawmap_main: DataFrame | None = None
+        self._rawmap_sfx_base: DataFrame | None = None
         self._rawmap_deltas: list[DataFrame] = []
-        self._sizes_base: DataFrame | None = None
+        self._sizes_main: DataFrame | None = None
+        self._sizes_sfx_base: DataFrame | None = None
         self._sizes_deltas: list[DataFrame] = []
         self._trace_base: DataFrame | None = None
         self._trace_deltas: list[DataFrame] = []
@@ -233,6 +246,10 @@ class CrawlEngine:
         self._dirty: bool = False
         self._last_meta: dict = {}
         self.timings: list[tuple[int, str, float]] = []  # (round, stage, sec)
+        #: per-round prefix-prune diagnostics (global-budget regime):
+        #: {round, prefix_rows, queue_rows, dequeued} — queue_rows comes
+        #: free from the incrementally-maintained group counts
+        self.prune_stats: list[dict] = []
         self._pending_unpersist: list[DataFrame] = []
 
     # -- lifecycle -----------------------------------------------------------
@@ -297,9 +314,13 @@ class CrawlEngine:
         self._seen_deltas = []
         self._ext_base = self.t_extracted.read(spark, v)
         self._ext_deltas = []
-        self._rawmap_base = self.t_rawmap.read(spark, v)
+        self._rawmap_main = self.t_rawmap.read_main(spark, v)
+        h = self.t_rawmap.read_history(spark, v)
+        self._rawmap_sfx_base = h if h is not None else self._empty(RAWMAP_SCHEMA)
         self._rawmap_deltas = []
-        self._sizes_base = self.t_sizes.read(spark, v)
+        self._sizes_main = self.t_sizes.read_main(spark, v)
+        h = self.t_sizes.read_history(spark, v)
+        self._sizes_sfx_base = h if h is not None else self._empty(SIZES_SCHEMA)
         self._sizes_deltas = []
         self._trace_base = self.t_trace.read(spark, v)
         self._trace_deltas = []
@@ -406,45 +427,108 @@ class CrawlEngine:
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
-    def _ext_parts(self) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """(rows, rawmap, sizes) as of the current state (committed
-        base ∪ in-memory round deltas)."""
+    def _ext_parts(
+        self,
+    ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+        """(rows, rawmap_main, rawmap_sfx, sizes_main, sizes_sfx) as of
+        the current state (committed base ∪ in-memory round deltas).
+        ``*_main`` are the pre-aggregated key→value maps baked at the
+        last fold (≤1 row per key); ``*_sfx`` the raw log suffix since."""
         spark = self.spark
         if self._state is None:
             v = self.version
             rows = self.t_extracted.read(spark, v)
-            rawmap = self.t_rawmap.read(spark, v)
-            sizes = self.t_sizes.read(spark, v)
             rows = rows if rows is not None else self._empty(EXT_ROW_SCHEMA)
-            return rows, rawmap, sizes
+            rm_sfx = self.t_rawmap.read_history(spark, v)
+            sz_sfx = self.t_sizes.read_history(spark, v)
+            return (
+                rows,
+                self.t_rawmap.read_main(spark, v),
+                rm_sfx if rm_sfx is not None else self._empty(RAWMAP_SCHEMA),
+                self.t_sizes.read_main(spark, v),
+                sz_sfx if sz_sfx is not None else self._empty(SIZES_SCHEMA),
+            )
         rows = self._ext_base if self._ext_base is not None else self._empty(
             EXT_ROW_SCHEMA)
         rows = self._with_deltas(rows, self._ext_deltas)
-        rawmap = self._with_deltas(self._rawmap_base, self._rawmap_deltas)
-        sizes = self._with_deltas(self._sizes_base, self._sizes_deltas)
-        return rows, rawmap, sizes
+        rm_sfx = self._with_deltas(self._rawmap_sfx_base, self._rawmap_deltas)
+        sz_sfx = self._with_deltas(self._sizes_sfx_base, self._sizes_deltas)
+        return rows, self._rawmap_main, rm_sfx, self._sizes_main, sz_sfx
 
     def extracted_df(self) -> DataFrame:
         """The reference-shaped extracted view (EXTRACTED_SCHEMA),
         merge-on-read: immutable rows ⋈ the raw-link log (max per
         download_url — the reference's every-row coalesce semantics,
-        selenium_scraper.py:280-345) ⋈ the HEAD-probe size log. The two
-        joins are against narrow key→value maps bounded by fetched
-        download pages, not by crawl history."""
-        rows, rawmap, sizes = self._ext_parts()
-        fill = (
-            rawmap.filter(F.col("download_url") != "")
+        selenium_scraper.py:280-345) ⋈ the HEAD-probe size log.
+
+        Read amplification is bounded by the fold cadence, not crawl
+        history: rows carry the fills resolved at the last fold commit
+        (``rl_fold``/``sz_fold``), so the common path aggregates and
+        joins ONLY the log suffix appended since. The folded ``main``
+        maps (≤1 row per key, no re-aggregation) are consulted only for
+        (i) rows appended since the fold and (ii) rows whose raw link
+        the suffix overrode — both bounded by the suffix, so those joins
+        broadcast the row side, never shuffling the maps."""
+        rows, rm_main, rm_sfx, sz_main, sz_sfx = self._ext_parts()
+        sfill = (
+            rm_sfx.filter(F.col("download_url") != "")
             .groupBy("download_url")
-            .agg(F.max("raw_link").alias("_rl"))
+            .agg(F.max("raw_link").alias("_rls"))
         )
-        szs = sizes.groupBy("raw_download_link").agg(
-            F.max("download_size").alias("download_size")
+        sszs = sz_sfx.groupBy("raw_download_link").agg(
+            F.max("download_size").alias("_szs")
+        )
+        r = rows.join(sfill, "download_url", "left")
+        # fast path: folded rows whose link the suffix does not override.
+        # max over the full log ≡ greatest(prefix max = rl_fold, suffix
+        # max = _rls); sizes likewise (sz_fold is the prefix max at key
+        # rl_fold, and the suffix never re-probes a known key).
+        fast = (
+            r.filter(
+                F.col("rl_fold").isNotNull()
+                & (F.col("_rls").isNull() | (F.col("_rls") <= F.col("rl_fold")))
+            )
+            .withColumn("raw_download_link", F.col("rl_fold"))
+            .join(sszs, "raw_download_link", "left")
+            .withColumn("download_size", F.greatest("sz_fold", "_szs"))
+        )
+        out_cols = [
+            "url", "download_url", "image_url", "tags",
+            "raw_download_link", "download_size",
+        ]
+        # slow (i): rows appended since the fold — their fills may
+        # predate it, so consult the folded main map too
+        mfill = rm_main.select(
+            "download_url", F.col("raw_link").alias("_rlm")
+        )
+        slow_new = (
+            r.filter(F.col("rl_fold").isNull())
+            .join(mfill, "download_url", "left")
+            .withColumn(
+                "raw_download_link",
+                F.coalesce(F.greatest("_rlm", "_rls"), F.lit("")),
+            )
+        )
+        # slow (ii): folded rows whose suffix fill wins (_rls > rl_fold
+        # = the full-prefix max, so the suffix value IS the new max)
+        slow_chg = (
+            r.filter(F.col("rl_fold").isNotNull() & (F.col("_rls") > F.col("rl_fold")))
+            .withColumn("raw_download_link", F.col("_rls"))
+        )
+        key_cols = ["url", "download_url", "image_url", "tags", "raw_download_link"]
+        mszs = sz_main.select(
+            "raw_download_link", F.col("download_size").alias("_szm")
+        )
+        slow = (
+            slow_new.select(*key_cols)
+            .unionByName(slow_chg.select(*key_cols))
+            .join(mszs, "raw_download_link", "left")
+            .join(sszs, "raw_download_link", "left")
+            .withColumn("download_size", F.greatest("_szm", "_szs"))
         )
         return (
-            rows.join(fill, "download_url", "left")
-            .withColumn("raw_download_link", F.coalesce(F.col("_rl"), F.lit("")))
-            .drop("_rl")
-            .join(szs, "raw_download_link", "left")
+            fast.select(*out_cols)
+            .unionByName(slow.select(*out_cols))
             .withColumn(
                 "extracted_text",
                 F.concat_ws(
@@ -452,10 +536,7 @@ class CrawlEngine:
                     "raw_download_link",
                 ),
             )
-            .select(
-                "url", "download_url", "image_url", "tags",
-                "raw_download_link", "download_size", "extracted_text",
-            )
+            .select(*out_cols, "extracted_text")
         )
 
     def trace_df(self) -> DataFrame:
@@ -518,14 +599,61 @@ class CrawlEngine:
         # others.
         k = self.cfg.compact_history_every
         fold = k is not None and v % k == 0
-        ext_delta = self._union_or_none(self._ext_deltas)
-        if ext_delta is not None:
-            ext_delta = ext_delta.withColumn(
+
+        def _bucketed(df: DataFrame) -> DataFrame:
+            return df.withColumn(
                 "_bkt",
                 F.pmod(
                     F.xxhash64("download_url"),
                     F.lit(self.cfg.extracted_buckets),
                 ).cast("int"),
+            )
+
+        ext_delta = self._union_or_none(self._ext_deltas)
+        if ext_delta is not None:
+            ext_delta = _bucketed(ext_delta)
+        if fold:
+            # bake the merge-on-read fills into the rows (resolved as of
+            # this commit) and replace the raw logs with their
+            # aggregated ≤1-row-per-key maps: until the next fold, reads
+            # aggregate only the suffix appended after this commit.
+            # Recomputing from main ∪ suffix is exact — max is
+            # associative, and main is the prefix max from the last fold.
+            rows, rm_main, rm_sfx, sz_main, sz_sfx = self._ext_parts()
+            fold_fill = (
+                rm_main.unionByName(rm_sfx)
+                .filter(F.col("download_url") != "")
+                .groupBy("download_url")
+                .agg(F.max("raw_link").alias("raw_link"))
+            )
+            fold_szs = (
+                sz_main.unionByName(sz_sfx)
+                .groupBy("raw_download_link")
+                .agg(F.max("download_size").alias("download_size"))
+            )
+            ext_resolved = _bucketed(
+                rows.drop("rl_fold", "sz_fold")
+                .join(
+                    fold_fill.select(
+                        "download_url", F.col("raw_link").alias("_rl")
+                    ),
+                    "download_url",
+                    "left",
+                )
+                .withColumn("rl_fold", F.coalesce(F.col("_rl"), F.lit("")))
+                .drop("_rl")
+                .join(
+                    fold_szs.select(
+                        F.col("raw_download_link").alias("rl_fold"),
+                        F.col("download_size").alias("sz_fold"),
+                    ),
+                    "rl_fold",
+                    "left",
+                )
+                .select(
+                    "url", "download_url", "image_url", "tags",
+                    "rl_fold", "sz_fold",
+                )
             )
 
         def commit_growing(table, deltas, full_df):
@@ -552,14 +680,28 @@ class CrawlEngine:
                     self._union_or_none(self._seen_deltas), meta, version=v,
                     publish=False)
             ),
-            lambda: self.t_extracted.commit_delta(
-                ext_delta, meta, version=v, publish=False, spark=self.spark),
-            lambda: commit_growing(
-                self.t_rawmap, self._rawmap_deltas,
-                self._with_deltas(self._rawmap_base, self._rawmap_deltas)),
-            lambda: commit_growing(
-                self.t_sizes, self._sizes_deltas,
-                self._with_deltas(self._sizes_base, self._sizes_deltas)),
+            lambda: (
+                self.t_extracted.commit_full(
+                    ext_resolved, meta, version=v, publish=False)
+                if fold
+                else self.t_extracted.commit_delta(
+                    ext_delta, meta, version=v, publish=False, spark=self.spark)
+            ),
+            lambda: (
+                # fold: main becomes the aggregated map, history resets
+                self.t_rawmap.commit(fold_fill, meta, version=v, publish=False)
+                if fold
+                else self.t_rawmap.commit_append(
+                    self._union_or_none(self._rawmap_deltas), meta, version=v,
+                    publish=False)
+            ),
+            lambda: (
+                self.t_sizes.commit(fold_szs, meta, version=v, publish=False)
+                if fold
+                else self.t_sizes.commit_append(
+                    self._union_or_none(self._sizes_deltas), meta, version=v,
+                    publish=False)
+            ),
             lambda: self.t_bloom.commit(
                 s["bloom"], meta, version=v, publish=False),
             lambda: (
@@ -600,9 +742,13 @@ class CrawlEngine:
         self._seen_deltas = []
         self._ext_base = self.t_extracted.read(spark, v)
         self._ext_deltas = []
-        self._rawmap_base = self.t_rawmap.read(spark, v)
+        self._rawmap_main = self.t_rawmap.read_main(spark, v)
+        h = self.t_rawmap.read_history(spark, v)
+        self._rawmap_sfx_base = h if h is not None else self._empty(RAWMAP_SCHEMA)
         self._rawmap_deltas = []
-        self._sizes_base = self.t_sizes.read(spark, v)
+        self._sizes_main = self.t_sizes.read_main(spark, v)
+        h = self.t_sizes.read_history(spark, v)
+        self._sizes_sfx_base = h if h is not None else self._empty(SIZES_SCHEMA)
         self._sizes_deltas = []
         self._trace_base = self.t_trace.read(spark, v)
         self._trace_deltas = []
@@ -643,10 +789,17 @@ class CrawlEngine:
                 self._queue_grp_counts = grouped_counts(
                     queue, stable_dequeue_group_expr()
                 )
+            queue_rows = sum(self._queue_grp_counts.values())
             dequeued = dequeue_pruned(
                 allowed, cfg.politeness_budget, cfg.global_budget,
                 self._queue_grp_counts, info=deq_info,
             ).cache()
+            self.prune_stats.append({
+                "round": r,
+                "prefix_rows": int(deq_info.get("prefix_rows") or 0),
+                "queue_rows": int(queue_rows),
+                "dequeued": int(deq_info["n"]),
+            })
         else:
             dequeued = dequeue(
                 allowed, cfg.politeness_budget, cfg.global_budget, info=deq_info,
@@ -654,11 +807,16 @@ class CrawlEngine:
             ).cache()
         n_deq = deq_info["n"]
         self._pending_unpersist.extend(deq_info.get("persisted", []))
-        if self.robots is not None and (cfg.detailed_metrics or n_deq == 0):
+        if self.robots is not None:
+            # always counted when a robots table is present: the denied
+            # rows feed the frontier MERGE anyway (cached → one narrow
+            # job), the count decides round termination, and the
+            # robots_denied lineage must be real even in the
+            # metrics-lean configuration
             denied = denied.cache()
             n_denied = denied.count()
         else:
-            n_denied = 0 if self.robots is None else -1
+            n_denied = 0
         tick("dequeue")
         if n_deq == 0 and n_denied == 0:
             return False
@@ -876,7 +1034,10 @@ class CrawlEngine:
         # whole log. Per-round cost is O(round), independent of crawl
         # history (round 2's fix for the last O(history) cost).
         new_ext = ext.filter(F.col("kind") == "detail").select(
-            "url", "download_url", "image_url", "tags"
+            "url", "download_url", "image_url", "tags",
+            # fills resolve at the NEXT fold; NULL marks a not-yet-folded row
+            F.lit(None).cast("string").alias("rl_fold"),
+            F.lit(None).cast("long").alias("sz_fold"),
         )
         raw_new = ext.filter(F.col("kind") == "download").select(
             F.col("url").alias("download_url"), F.col("raw_link").alias("raw_link")
@@ -888,8 +1049,8 @@ class CrawlEngine:
             # links shared by several download pages; probe misses are
             # recorded as NULL so the read view shows them as the
             # reference's NaN). The body never moves.
-            known = self._with_deltas(
-                self._sizes_base, self._sizes_deltas
+            known = self._sizes_main.unionByName(
+                self._with_deltas(self._sizes_sfx_base, self._sizes_deltas)
             ).select("raw_download_link")
             probe_keys = (
                 raw_new.filter(F.col("raw_link") != "")
@@ -942,6 +1103,8 @@ class CrawlEngine:
                 ("failed", n_deq - n_fetched),
                 ("new_urls", n_new),
             ]
+            if self.robots is not None:
+                scalars.append(("robots_denied", n_denied))
         lineage_delta = self.spark.createDataFrame(
             [(r, m, "total", int(v)) for m, v in scalars], LINEAGE_SCHEMA
         )

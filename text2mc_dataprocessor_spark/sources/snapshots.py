@@ -314,6 +314,43 @@ class BucketedSnapshotTable(SnapshotTable):
             self.publish_version(version)
         return version
 
+    def commit_full(self, df: DataFrame, meta: dict[str, Any] | None = None,
+                    version: int | None = None, publish: bool = True) -> int:
+        """Rewrite the WHOLE table: every materialized bucket becomes one
+        segment and every inherited segment list is dropped (parent
+        manifests still pin the old files for time travel). This is the
+        table-wide compaction commit — the crawl uses it at the
+        ``compact_history_every`` cadence to bake merge-on-read fills
+        into the rows (O(table) every K commits → O(table/K) amortized,
+        the same bound as the other history folds)."""
+        if version is None:
+            parent = self.current_version()
+            version = (parent or 0) + 1
+        else:
+            parent = version - 1 if version > 1 else None
+        from pyspark.sql import functions as F
+
+        token = uuid.uuid4().hex[:8]
+        full_dir = os.path.join(self.dir, "data", f"v{version}-{token}-full")
+        df.repartition(F.col("_bkt")).write.mode("errorifexists") \
+            .partitionBy("_bkt").parquet(full_dir)
+        buckets = {
+            str(b): [p] for b, p in self._materialized_buckets(full_dir).items()
+        }
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "buckets": buckets,
+            "meta": meta or {},
+        }
+        mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        if publish:
+            self.publish_version(version)
+        return version
+
     def bucket_paths(self, version: int | None = None) -> dict[int, list[str]]:
         m = self.manifest(version)
         return {int(b): list(p) for b, p in m.get("buckets", {}).items()}
