@@ -193,3 +193,49 @@ def test_simhash_pigeonhole_guard(spark):
         simhash_pairs(docs, max_hamming=8, n_bands=4)
     # default n_bands=None auto-selects 16 for max_hamming=8
     assert simhash_pairs(docs, max_hamming=8).count() == 1
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """A~B, B~C is ONE component even though (A, C) was never a pair;
+    disjoint pairs stay separate; labels are the component min."""
+    from text2mc_dataprocessor_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_keep_representatives(spark):
+    from text2mc_dataprocessor_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in keep_representatives(docs, pairs).collect())
+    # one representative (min id) per cluster + the untouched singleton
+    assert kept == [1, 10, 99]
+
+
+def test_dedup_paragraphs_first_occurrence(spark):
+    """Global first-by-(doc, position) wins; docs reassemble in original
+    paragraph order; fully-duplicated docs drop (or stay empty with
+    keep_empty)."""
+    from text2mc_dataprocessor_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "A\nB"), (2, "B\nC"), (3, "A\nC"), (4, "D\nA\nE")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_kept)
+           for r in dedup_paragraphs(docs).collect()}
+    assert got == {1: ("A\nB", 2), 2: ("C", 1), 4: ("D\nE", 2)}
+
+    kept = {r.doc_id: (r.text, r.n_kept)
+            for r in dedup_paragraphs(docs, keep_empty=True).collect()}
+    assert kept[3] == ("", 0) and len(kept) == 4

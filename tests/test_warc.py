@@ -1,0 +1,167 @@
+"""WARC source: encode→decode roundtrip, gzip-member layout, HTTP
+envelope stripping, the Spark mapInPandas scan, X4 blob isolation,
+and feeding the decoded records straight into a CrawlEngine pages
+table (the Common-Crawl replay flow)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text2mc_dataprocessor_spark.sources.warc import (
+    decode_warc,
+    encode_warc,
+    warc_records,
+)
+
+RECS = [
+    ("https://h0.example.com/a", "2024-03-01T10:00:00Z", b"<html>alpha</html>"),
+    ("https://h1.example.com/b", "2024-03-01T10:00:05Z", b"<html>" + b"x" * 5000 + b"</html>"),
+    ("https://h0.example.com/c", "2024-03-01T10:00:09Z", b""),
+]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip(gz):
+    blob = encode_warc(RECS, gzip_members=gz)
+    got = decode_warc(blob)
+    assert [(r["url"], r["payload"]) for r in got] == [
+        (u, p) for u, _, p in RECS
+    ]
+    assert all(r["warc_type"] == "response" for r in got)
+    assert got[0]["ts"] == "2024-03-01T10:00:00Z"
+
+
+def test_gzip_members_are_individually_decompressible():
+    """Common Crawl's at-rest property: each record its own gzip member,
+    so a reader can start at any member boundary."""
+    blob = encode_warc(RECS, gzip_members=True)
+    # the first member alone must decode to exactly the first record
+    import zlib
+
+    dec = zlib.decompressobj(wbits=31)
+    first = dec.decompress(blob)
+    # unused_data marks the start of the second member
+    assert dec.unused_data != b""
+    got = decode_warc(first)
+    assert len(got) == 1 and got[0]["url"] == RECS[0][0]
+    assert got[0]["payload"] == RECS[0][2]
+
+
+def test_http_envelope_stripped():
+    blob = encode_warc(RECS[:1], gzip_members=False)
+    assert b"HTTP/1.1 200 OK" in blob  # the envelope exists on the wire
+    got = decode_warc(blob)
+    assert got[0]["payload"] == RECS[0][2]  # …but never in the payload
+
+
+def test_warc_records_scan_and_x4(spark):
+    good = encode_warc(RECS)
+    bad = b"\x1f\x8b" + b"garbage-not-gzip"
+    blobs = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(bad))],
+        "file_id long, content binary",
+    )
+    out = warc_records(blobs).toPandas()
+    ok = out[out.error.isna()].sort_values("url").reset_index(drop=True)
+    assert list(ok.url) == sorted(u for u, _, _ in RECS)
+    assert bytes(ok.html[list(ok.url).index(RECS[0][0])]) == RECS[0][2]
+    assert ok.warc_ts.notna().all()
+    errs = out[out.error.notna()]
+    assert len(errs) == 1 and errs.url.isna().all()  # bad blob → one X4 row
+
+
+def _archive_pages(spark, n=30):
+    rows = [
+        (
+            f"https://h{i % 3}.example.com/p/{i}",
+            f"2024-03-01 10:{i // 60:02d}:{i % 60:02d}",
+            bytearray(f"<html>doc {i}</html>".encode()),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+def test_write_warc_archive_roundtrip(spark, tmp_path):
+    from text2mc_dataprocessor_spark.sources.warc import write_warc_archive
+
+    out = str(tmp_path / "arch")
+    idx = write_warc_archive(_archive_pages(spark), out, records_per_file=10)
+    pdf = idx.toPandas()
+    assert pdf.error.isna().all() and len(pdf) == 30
+    assert sorted(pdf.filename.unique()) == [
+        "part-00000.warc.gz", "part-00001.warc.gz", "part-00002.warc.gz"
+    ]
+    # index is SURT-ordered within and across files
+    srt = pdf.sort_values(["file_id", "offset"]).reset_index(drop=True)
+    assert list(srt.urlkey) == sorted(srt.urlkey)
+    # read the whole archive back through the source
+    blobs = spark.read.format("binaryFile").load(out + "/*.warc.gz")
+    back = (
+        warc_records(blobs)
+        .filter(F.col("error").isNull())
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(back) == 30
+    assert list(back.url) == sorted(pdf.url)
+    assert bytes(back.html[0]).startswith(b"<html>doc ")
+
+
+def test_warc_archive_random_access_and_reproducibility(spark, tmp_path):
+    """(offset, length) from the index addresses one gzip member — the
+    CDX random-access contract — and bytes are identical across runs."""
+    import gzip
+
+    from text2mc_dataprocessor_spark.sources.warc import write_warc_archive
+
+    out1, out2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+    pages = _archive_pages(spark)
+    idx = write_warc_archive(pages, out1, records_per_file=10).toPandas()
+    write_warc_archive(pages, out2, records_per_file=10).count()
+
+    row = idx.sort_values(["filename", "offset"]).iloc[17]
+    with open(f"{out1}/{row.filename}", "rb") as f:
+        f.seek(int(row.offset))
+        member = f.read(int(row.length))
+    rec = decode_warc(gzip.decompress(member))
+    assert len(rec) == 1 and rec[0]["url"] == row.url
+
+    for name in sorted(idx.filename.unique()):
+        with open(f"{out1}/{name}", "rb") as a, open(f"{out2}/{name}", "rb") as b:
+            assert a.read() == b.read(), name
+
+
+def test_warc_feeds_crawl_pages_table(spark, tmp_path):
+    """Decoded WARC records ARE the pages-table shape: run a crawl whose
+    replay corpus came through the WARC source."""
+    from text2mc_dataprocessor_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from text2mc_dataprocessor_spark.sources.fixtures import (
+        generate_corpus,
+        pages_to_spark,
+        seeds_to_spark,
+    )
+
+    corpus = generate_corpus(
+        n_hosts=2, listing_pages_per_host=2, links_per_listing=4, seed=42
+    )
+    pages = pages_to_spark(spark, corpus).select("url", "warc_ts", "html")
+    pdf = pages.toPandas()
+    blob = encode_warc(
+        [(r.url, r.warc_ts, bytes(r.html)) for r in pdf.itertuples(index=False)]
+    )
+    blobs = spark.createDataFrame([(0, bytearray(blob))], "file_id long, content binary")
+    warc_pages = warc_records(blobs).filter(F.col("error").isNull()).drop("error")
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "w"), warc_pages,
+        config=CrawlConfig(politeness_budget=8, n_buckets=8),
+    )
+    eng.init(seeds_to_spark(spark, corpus))
+    eng.run()
+    got = eng.extracted_df().toPandas().sort_values("url").reset_index(drop=True)
+    want = corpus.golden.sort_values("url").reset_index(drop=True)
+    assert list(got.url) == list(want.url)
+    assert list(got.download_url) == list(want.download_url)

@@ -371,3 +371,124 @@ def embedding_near_dup(df: DataFrame, dim: int, threshold: float = 0.95,
         topk.filter((F.col("cos_sim") >= threshold) & (F.col("qid") < F.col("vec_id")))
         .select(F.col("qid").alias("id_a"), F.col("vec_id").alias("id_b"), "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster connected components + representative selection
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
+                 b_col: str = "id_b") -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over
+    the pair graph, labeled by the component's MIN member id. Returns
+    one row per id appearing in any pair: ``(doc_id, cluster_id)``.
+
+    The production dedup flow is pairs → components → keep one
+    representative per component (a transitively-linked chain A~B~C is
+    ONE duplicate group even if (A, C) was never itself a candidate
+    pair). Min-label propagation to fixpoint — each round is one
+    equi-join + groupBy-min; round count ~ component diameter, which
+    for near-dup graphs is tiny (dup groups are near-cliques). Same
+    localCheckpoint-per-round discipline as the DBSCAN operator (plans
+    would otherwise nest geometrically)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("p"), F.col(b_col).alias("q"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("p"), F.col(a_col).alias("q"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("p").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.p == labels.id)
+            .groupBy(F.col("q").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr"))
+        )
+        new = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("cluster_id", F.coalesce("nbr", "cluster_id")).alias("cluster_id"),
+        ).localCheckpoint()
+        changed = (
+            new.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("id", "doc_id")
+
+
+def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n",
+                     keep_empty: bool = False) -> DataFrame:
+    """CCNet-style corpus-level exact PARAGRAPH dedup: split every
+    document on ``sep``, keep only the globally FIRST occurrence of
+    each distinct paragraph (first by (``id_col``, position) — the
+    deterministic corpus order), and reassemble documents from their
+    surviving paragraphs in original order. Documents whose every
+    paragraph was seen earlier disappear (CCNet drops empty docs;
+    ``keep_empty=True`` keeps them with ``text=''`` via a left join).
+
+    Returns ``(id_col, text, n_kept)``.
+
+    Scale shape: one ``posexplode``, one window partitioned BY
+    PARAGRAPH (groups are tiny — the duplicate count of one paragraph),
+    one reassembly groupBy on the doc id. No global window, no
+    driver-side state; the paragraph shuffle key is the paragraph
+    string itself (exact semantics — hashing would merge colliding
+    paragraphs)."""
+    paras = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    )
+    w = Window.partitionBy("para").orderBy(id_col, "pos")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s.para,
+            ),
+            sep,
+        ).alias(text_col),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    if keep_empty:
+        out = (
+            docs.select(id_col)
+            .join(out, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(text_col, F.lit("")).alias(text_col),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            )
+        )
+    return out
+
+
+def keep_representatives(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """The dedup SELECTION step: drop every duplicate-cluster member
+    except the representative (min id — deterministic, join-free to
+    pick). Documents in no pair are untouched. One broadcast-able
+    anti-join against the (small) non-representative set — the corpus
+    side never shuffles."""
+    clusters = dup_clusters(pairs, a_col, b_col)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

@@ -1,0 +1,61 @@
+"""Link-graph analytics over the crawl's edge set.
+
+A frontier engine's natural by-product is the link graph
+(``parent_url → url``, or host → host after aggregation); rank signals
+computed over it feed crawl prioritization — the ``score`` column the
+dequeue orders by. ``pagerank`` is the classic: iterative power method,
+each iteration one equi-join + one aggregation, plans severed per
+iteration (the DBSCAN/localCheckpoint discipline — Spark's iterative-
+algorithm pitfall is geometric plan growth, not the math).
+
+Variant: the standard simplified PageRank without dangling-mass
+redistribution — rank(v) = (1−d)/N + d·Σ_{u→v} rank(u)/outdeg(u).
+Deterministic given the edge set, so it is oracle-checkable by
+unrolling the same iterations in SQL (the ``host_pagerank`` driver
+query does exactly that).
+
+Scale shape: ranks and out-degrees shuffle on the node key only; the
+edge table is the big side and is never collected or widened. 10^10
+edges = a few hash joins per iteration, AQE-planned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """→ (node, rank) after ``n_iter`` power iterations over the
+    DISTINCT edge set. Nodes = every endpoint; initial rank 1/N."""
+    e = edges.select(src, dst).distinct().persist()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", src), src)
+            .join(outdeg, src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()  # sever the per-iteration plan
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

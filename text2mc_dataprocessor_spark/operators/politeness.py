@@ -37,6 +37,87 @@ def robots_gate(queued: DataFrame, robots: DataFrame | None) -> tuple[DataFrame,
     return allowed, denied
 
 
+ROBOTS_RULES_SCHEMA = (
+    "host string, disallow_prefixes array<string>, crawl_delay_ms long"
+)
+
+
+def parse_robots_txt_text(text: str, user_agent: str = "*") -> tuple[list[str], int | None]:
+    """One robots.txt body → (disallow_prefixes, crawl_delay_ms) for
+    ``user_agent``, per the Robots Exclusion Protocol (RFC 9309, the
+    subset ``robots_gate`` consumes):
+
+    - a group = consecutive ``User-agent`` lines followed by rules;
+      groups naming the same agent merge;
+    - an exact (case-insensitive) agent match beats the ``*`` group —
+      never both;
+    - empty ``Disallow:`` means unrestricted (no prefix recorded);
+    - ``Crawl-delay`` seconds → ms (max across the chosen groups);
+    - ``#`` comments and unknown fields (Allow, Sitemap, …) ignored —
+      the gate is prefix-deny only, so Allow-precedence is out of scope
+      (documented; a denied-by-prefix URL with a longer Allow match
+      would be over-blocked, the conservative direction).
+    """
+    ua = user_agent.lower()
+    groups: list[tuple[set[str], list[str], float | None]] = []
+    cur_agents: set[str] | None = None
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur_agents is None or in_rules:
+                cur_agents = set()
+                groups.append((cur_agents, [], None))
+                in_rules = False
+            cur_agents.add(value.lower())
+        elif cur_agents is not None:
+            in_rules = True
+            agents, dis, delay = groups[-1]
+            if field == "disallow" and value:
+                dis.append(value)
+            elif field == "crawl-delay":
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                groups[-1] = (agents, dis, max(delay, d) if delay is not None else d)
+    exact = [g for g in groups if ua in g[0]]
+    chosen = exact if exact else [g for g in groups if "*" in g[0]]
+    prefixes: list[str] = []
+    delay_ms: int | None = None
+    for _, dis, delay in chosen:
+        prefixes.extend(dis)
+        if delay is not None:
+            delay_ms = max(delay_ms or 0, int(delay * 1000))
+    return prefixes, delay_ms
+
+
+def parse_robots_txt(df: DataFrame, text_col: str = "robots_txt",
+                     user_agent: str = "*") -> DataFrame:
+    """(host, robots_txt) → the ``robots_gate`` rules shape
+    ``(host, disallow_prefixes, crawl_delay_ms)``. Arrow-batched
+    mapInPandas — robots bodies are tiny and per-host, so this runs
+    once per host at frontier-admission time, never per URL."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf["host"], pdf[text_col]):
+                prefixes, delay = parse_robots_txt_text(text or "", user_agent)
+                rows.append((host, prefixes, delay))
+            yield pd.DataFrame(
+                rows, columns=["host", "disallow_prefixes", "crawl_delay_ms"]
+            )
+
+    return df.select("host", text_col).mapInPandas(run, ROBOTS_RULES_SCHEMA)
+
+
 def salt_fetch_partitions(df: DataFrame, n_partitions: int, salt_buckets: int = 16) -> DataFrame:
     """Spread a host-skewed fetch batch: repartition by (host, salt)."""
     salted = df.withColumn(

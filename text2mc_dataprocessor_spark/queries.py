@@ -1751,5 +1751,470 @@ def json_sink_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "warc_source_records",
+    """
+    SELECT 'https://w' || CAST(i % 4 AS VARCHAR) || '.example.com/p'
+               || CAST(i AS VARCHAR) AS url,
+           strftime(TIMESTAMP '2024-03-01 08:00:00'
+                    + to_seconds(i), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(10 + 7 * i AS BIGINT) AS body_len
+    FROM (SELECT unnest(generate_series(0, 19)) AS i)
+    """,
+)
+def warc_source_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (ISO 28500 / the Common Crawl at-rest format): a
+    deterministic 20-record WARC blob — one gzip member per record —
+    is decoded by the Arrow-batched ``warc_records`` scan; urls,
+    WARC-Dates and payload lengths must match the generator exactly
+    (HTTP response envelopes stripped). The roundtrip + a full crawl
+    over WARC-decoded pages are asserted in tests/test_warc.py."""
+    import pandas as pd
+
+    from .sources.warc import encode_warc, warc_records
+
+    base = pd.Timestamp("2024-03-01T08:00:00Z")
+    blob = encode_warc(
+        [
+            (
+                f"https://w{i % 4}.example.com/p{i}",
+                base + pd.Timedelta(seconds=i),
+                b"x" * (10 + 7 * i),
+            )
+            for i in range(20)
+        ]
+    )
+    blobs = spark.createDataFrame(
+        [(0, bytearray(blob))], "file_id long, content binary"
+    )
+    return (
+        warc_records(blobs)
+        .filter(F.col("error").isNull())
+        .select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.length("html").cast("long").alias("body_len"),
+        )
+    )
+
+
+@_q(
+    "robots_txt_rules",
+    """
+    SELECT * FROM (VALUES
+      ('h0.example.com', '/private/|/tmp', CAST(2000 AS BIGINT)),
+      ('h1.example.com', '/only-this', CAST(500 AS BIGINT)),
+      ('h2.example.com', '/a|/b', CAST(3000 AS BIGINT)),
+      ('h3.example.com', '', CAST(NULL AS BIGINT)),
+      ('h4.example.com', '/everything', CAST(NULL AS BIGINT))
+    ) AS t(host, prefixes, crawl_delay_ms)
+    """,
+)
+def robots_txt_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (RFC 9309 subset → the robots_gate rules
+    shape): five planted bodies exercising comments, exact-agent-beats-
+    star selection, stacked/merged same-agent groups, empty Disallow,
+    and fractional Crawl-delay. h4 is an agent with no exact group —
+    it must fall back to the * rules. Prefix lists are pipe-joined so
+    the hash compare sees plain strings."""
+    from .operators.politeness import parse_robots_txt
+
+    star = ("# c\nUser-agent: *\nDisallow: /private/ # t\n"
+            "Disallow: /tmp\nCrawl-delay: 2\nSitemap: https://x/s.xml\n")
+    exact = ("User-agent: *\nDisallow: /everything\n"
+             "User-agent: text2mc\nDisallow: /only-this\nCrawl-delay: 0.5\n")
+    merged = ("User-agent: a\nUser-agent: text2mc\nDisallow: /a\n"
+              "User-agent: text2mc\nDisallow: /b\nCrawl-delay: 3\n")
+    bodies = [
+        ("h0.example.com", star),
+        ("h1.example.com", exact),
+        ("h2.example.com", merged),
+        ("h3.example.com", "User-agent: *\nDisallow:\n"),
+        ("h4.example.com", exact.replace("text2mc", "someoneelse")),
+    ]
+    rules = parse_robots_txt(
+        spark.createDataFrame(bodies, "host string, robots_txt string"),
+        user_agent="text2mc",
+    )
+    return rules.select(
+        "host",
+        F.concat_ws("|", "disallow_prefixes").alias("prefixes"),
+        "crawl_delay_ms",
+    )
+
+
+@_q(
+    "canonical_urls",
+    """
+    SELECT * FROM (VALUES
+      ('HTTPS://Example.COM:443/A/b?q=1#frag', 'https://example.com/A/b?q=1'),
+      ('http://h.example:80/', 'http://h.example/'),
+      ('http://h.example:8080/x', 'http://h.example:8080/x'),
+      ('https://h.example', 'https://h.example/'),
+      ('https://h.example/a/./b/../c', 'https://h.example/a/c'),
+      ('https://h.example/a/b/../', 'https://h.example/a/'),
+      ('https://h.example/a/.', 'https://h.example/a/'),
+      ('https://h.example/../x', 'https://h.example/x'),
+      ('https://h.example/a//b/', 'https://h.example/a//b/'),
+      ('https://h.example/p#f?notq', 'https://h.example/p'),
+      ('https://h.example:8443/x', 'https://h.example:8443/x'),
+      ('not-a-url', 'not-a-url')
+    ) AS t(url, canon)
+    """,
+)
+def canonical_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 URL canonicalization as a pure-JVM column expression
+    (functions/urlkeys.canonical_url_col): lowercase scheme/host,
+    default-port strip, fragment strip, §5.2.4 dot-segment resolution
+    via a higher-order aggregate fold — zero Python in the per-URL hot
+    path (plan-gated in tests/test_urlkeys.py, plus case-for-case
+    parity with the plain-Python mirror)."""
+    from .functions.urlkeys import canonical_url_col
+
+    cases = [
+        "HTTPS://Example.COM:443/A/b?q=1#frag",
+        "http://h.example:80/",
+        "http://h.example:8080/x",
+        "https://h.example",
+        "https://h.example/a/./b/../c",
+        "https://h.example/a/b/../",
+        "https://h.example/a/.",
+        "https://h.example/../x",
+        "https://h.example/a//b/",
+        "https://h.example/p#f?notq",
+        "https://h.example:8443/x",
+        "not-a-url",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    return df.select("url", canonical_url_col("url").alias("canon"))
+
+
+@_q(
+    "dup_cluster_representatives",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS text_len
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def dup_cluster_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup SELECTION flow: pairs → connected components → keep one
+    representative per duplicate cluster. Planted construction: every
+    kept document is tripled (ids +100000 and +200000), so each group
+    is a transitively-linked 3-clique the LSH pass must fully find
+    (identical copies, est_jaccard 1.0; threshold 0.9 excludes all
+    natural sf0.01 pairs — the ``minhash_lsh_pairs`` oracle's verified
+    premise). Survivors must be EXACTLY the original ids with their
+    original text — a missed pair, a broken component, or a wrong
+    representative each breaks the hash."""
+    from .operators.dedup import keep_representatives, minhash_lsh_pairs
+
+    base = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id", "text")
+    docs = base.unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionByName(
+        base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.9)
+    return keep_representatives(docs, pairs).select(
+        "doc_id", F.octet_length("text").cast("long").alias("text_len")
+    )
+
+
+@_q(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_start
+      FROM t
+    )
+    SELECT doc_id, tok_start,
+           tok_start // 2048 AS seq_id,
+           tok_start % 2048 AS seq_pos
+    FROM c
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data sequence packing: documents laid head-to-tail on a
+    token tape in doc_id order, sequences of 2048 tokens, a boundary-
+    crossing doc owned by the sequence where it starts. The Spark side
+    is the distributed two-phase cumulative sum (no single-partition
+    window); the oracle is the literal single-stream window pack."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=2048).select(
+        "doc_id", "tok_start", "seq_id", "seq_pos"
+    )
+
+
+@_q(
+    "host_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT CAST(o_custkey % 50 AS BIGINT) AS src,
+                      CAST(o_orderkey % 50 AS BIGINT) AS dst
+      FROM orders WHERE o_custkey % 50 != o_orderkey % 50
+    ), nodes AS (
+      SELECT src AS v FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+    od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+    r0 AS (SELECT v, 1.0 / (SELECT c FROM nn) AS r FROM nodes),
+    r1 AS (
+      SELECT nodes.v,
+             0.15 / (SELECT c FROM nn)
+             + 0.85 * COALESCE(SUM(r0.r / od.d), 0) AS r
+      FROM nodes LEFT JOIN e ON e.dst = nodes.v
+                 LEFT JOIN od ON od.src = e.src
+                 LEFT JOIN r0 ON r0.v = e.src
+      GROUP BY nodes.v
+    ),
+    r2 AS (
+      SELECT nodes.v,
+             0.15 / (SELECT c FROM nn)
+             + 0.85 * COALESCE(SUM(r1.r / od.d), 0) AS r
+      FROM nodes LEFT JOIN e ON e.dst = nodes.v
+                 LEFT JOIN od ON od.src = e.src
+                 LEFT JOIN r1 ON r1.v = e.src
+      GROUP BY nodes.v
+    ),
+    r3 AS (
+      SELECT nodes.v,
+             0.15 / (SELECT c FROM nn)
+             + 0.85 * COALESCE(SUM(r2.r / od.d), 0) AS r
+      FROM nodes LEFT JOIN e ON e.dst = nodes.v
+                 LEFT JOIN od ON od.src = e.src
+                 LEFT JOIN r2 ON r2.v = e.src
+      GROUP BY nodes.v
+    )
+    SELECT v AS node, ROUND(r, 6) AS rank3 FROM r3
+    """,
+)
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (the crawl-prioritization signal): three
+    power iterations over a deterministic 50-node graph derived from
+    the orders table, vs the SAME three iterations unrolled in SQL.
+    The Spark loop severs its plan per iteration (localCheckpoint) —
+    the iterative-algorithm discipline the engine uses everywhere."""
+    from .operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 50).cast("long").alias("src"),
+        (F.col("o_orderkey") % 50).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    return pagerank(edges, n_iter=3).select(
+        "node", F.round("rank", 6).alias("rank3")
+    )
+
+
+@_q(
+    "sitemap_seed_urls",
+    """
+    SELECT * FROM (VALUES
+      ('s1', 'https://h.example/a', '2024-01-02', 'url'),
+      ('s1', 'https://h.example/b', '', 'url'),
+      ('s2', 'https://h.example/sitemap-1.xml', '2024-02-01T10:00:00Z', 'sitemap'),
+      ('s2', 'https://h.example/sitemap-2.xml', '', 'sitemap')
+    ) AS t(sid, loc, lastmod, kind)
+    """,
+)
+def sitemap_seed_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml seed discovery (robots' ``Sitemap:`` companion):
+    a <urlset> and a <sitemapindex> — plus a non-sitemap document that
+    must yield nothing — parsed entirely JVM-side (regexp_extract_all
+    blocks + higher-order transform; plan-gated in
+    tests/test_sitemap.py)."""
+    from .functions.sitemap import sitemap_entries
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://h.example/a</loc><lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>\n https://h.example/b \n</loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://h.example/sitemap-1.xml</loc>"
+        "<lastmod>2024-02-01T10:00:00Z</lastmod></sitemap>"
+        "<sitemap><loc>https://h.example/sitemap-2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("s1", urlset), ("s2", index), ("s3", "<html>not a sitemap</html>")],
+        "sid string, xml string",
+    )
+    return sitemap_entries(df, keep_cols=("sid",))
+
+
+@_q(
+    "cdxj_index",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             'https://Sub' || CAST(doc_id % 3 AS VARCHAR) || '.Example'
+               || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) || '?q='
+               || CAST(doc_id % 7 AS VARCHAR) AS url,
+             TIMESTAMP '2024-03-01 00:00:00' + to_seconds(doc_id) AS ts
+      FROM documents
+    )
+    SELECT 'com,example' || CAST(doc_id % 5 AS VARCHAR) || ',sub'
+             || CAST(doc_id % 3 AS VARCHAR) || ')/p/'
+             || CAST(doc_id AS VARCHAR) || '?q='
+             || CAST(doc_id % 7 AS VARCHAR) AS urlkey,
+           strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+           url,
+           CAST(doc_id * 13 % 997 AS VARCHAR) AS length
+    FROM t
+    """,
+)
+def cdxj_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ url-index emit → parse roundtrip (functions/cdx.py — the
+    WARC companion index; Common Crawl's capture-index format). The
+    Spark side builds SURT urlkeys + CDXJ lines from generated capture
+    rows, then parses them BACK (urlkey, 14-digit timestamp, url and a
+    JSON meta field must all survive); the oracle derives every field
+    directly from the generating arithmetic — including the lowercased,
+    host-reversed SURT form, so key construction, JSON emission and
+    parsing are each hash-checked. All JVM-side (plan-gated in
+    tests/test_cdx.py)."""
+    from .functions.cdx import cdxj_lines, parse_cdxj
+
+    caps = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://Sub"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".Example"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"),
+            F.lit("?q="), (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp '2024-03-01 00:00:00'"
+            " + make_dt_interval(0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        (F.col("doc_id") * 13 % 997).cast("string").alias("length"),
+    )
+    lines = cdxj_lines(caps, meta_cols=("length",))
+    return parse_cdxj(lines.select("line"), meta_fields=("length",)).select(
+        "urlkey",
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts14"),
+        "url",
+        "length",
+    )
+
+
+@_q(
+    "paragraph_dedup",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             unnest(generate_series(0, 4)) AS pos,
+             'p' || CAST((doc_id * 7 + unnest(generate_series(0, 4)) * 3)
+                         % 40 AS VARCHAR) AS para
+      FROM documents
+    ), r AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para
+                                ORDER BY doc_id, pos) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY pos) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM r WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level paragraph dedup (operators/dedup.py
+    ``dedup_paragraphs``): five synthetic paragraphs per document from
+    shared arithmetic, only the globally-first occurrence of each
+    distinct paragraph survives, documents reassembled from survivors
+    in original order (fully-duplicated docs drop). The oracle is the
+    literal window formulation; order of reassembly, the
+    first-by-(doc, position) rule, and the drop semantics are each
+    hash-checked."""
+    from .operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            *[
+                F.concat(
+                    F.lit("p"),
+                    ((F.col("doc_id") * 7 + i * 3) % 40).cast("string"),
+                )
+                for i in range(5)
+            ],
+        ),
+    )
+    return dedup_paragraphs(docs)
+
+
+@_q(
+    "warc_archive_index",
+    """
+    WITH t AS (
+      SELECT 'com,example,h' || CAST(doc_id % 7 AS VARCHAR) || ')/p/'
+               || CAST(doc_id AS VARCHAR) AS urlkey
+      FROM documents WHERE doc_id < 100
+    ), r AS (
+      SELECT urlkey, CAST((row_number() OVER (ORDER BY urlkey) - 1) // 25
+                          AS BIGINT) AS file_id
+      FROM t
+    )
+    SELECT file_id,
+           printf('part-%05d.warc.gz', file_id) AS filename,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           MIN(urlkey) AS first_urlkey,
+           MAX(urlkey) AS last_urlkey
+    FROM r GROUP BY file_id
+    """,
+)
+def warc_archive_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC archive sink (sources/warc.py
+    ``write_warc_archive``): 100 synthetic pages → SURT-clustered
+    .warc.gz files of 25 records + a per-record (filename, offset,
+    length) random-access index. The oracle re-derives the SURT keys
+    and the two-phase global rank's file assignment independently, so
+    key construction, global ordering, and file slicing are all
+    hash-checked; member-level random access and byte-reproducibility
+    are asserted in tests/test_warc.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.warc import write_warc_archive
+
+    tmp = tempfile.mkdtemp(prefix="warc_archive_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    pages = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp '2024-03-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("body-"), F.col("doc_id").cast("string")), "UTF-8"
+        ).alias("html"),
+    )
+    idx = write_warc_archive(pages, tmp, records_per_file=25)
+    return idx.filter(F.col("error").isNull()).groupBy("file_id", "filename").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.min("urlkey").alias("first_urlkey"),
+        F.max("urlkey").alias("last_urlkey"),
+    )
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)
