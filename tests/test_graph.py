@@ -56,3 +56,75 @@ def test_deterministic(spark):
     a = sorted((r.node, round(r.rank, 12)) for r in pagerank(e, n_iter=5).collect())
     b = sorted((r.node, round(r.rank, 12)) for r in pagerank(e, n_iter=5).collect())
     assert a == b
+
+
+def test_score_classes_integral_and_rank_ordered(spark):
+    from text2mc_dataprocessor_spark.operators.graph import (
+        pagerank_score_classes,
+    )
+
+    # star: 1,2,3 -> 0; center holds the most mass -> top class
+    e = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    got = {r.node: r.score for r in pagerank_score_classes(e, n_classes=2).collect()}
+    assert all(s == float(int(s)) for s in got.values())
+    assert got[0] == 1.0 and set(got.values()) == {0.0, 1.0}
+
+
+def test_rescore_reprioritizes_queue(spark, tmp_path):
+    """An external score signal re-orders the frontier: boost one host's
+    queued detail pages above everything and the next (pruned-regime)
+    dequeue serves only that host — with the per-group counts rebuilt,
+    not stale."""
+    from text2mc_dataprocessor_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from text2mc_dataprocessor_spark.sources.fixtures import (
+        generate_corpus,
+        pages_to_spark,
+        seeds_to_spark,
+    )
+
+    corpus = generate_corpus(
+        n_hosts=2, listing_pages_per_host=1, links_per_listing=4, seed=7
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "c"), pages_to_spark(spark, corpus),
+        config=CrawlConfig(politeness_budget=8, global_budget=2, n_buckets=8),
+    )
+    eng.init(seeds_to_spark(spark, corpus))
+    eng.run(rounds=1)
+
+    hosts = sorted(
+        r.host
+        for r in eng._state["queue"].select("host").distinct().collect()
+    )
+    target = hosts[-1]
+    info = eng.rescore(
+        spark.createDataFrame([(target, 3.0)], "host string, score double")
+    )
+    assert info["rescored"] > 0
+    eng.run(rounds=1)
+    tr = eng.trace_df().toPandas()
+    r2 = tr[tr["round"] == 2]
+    assert len(r2) == 2 and set(r2.host) == {target}
+
+
+def test_rescore_rejects_fractional_scores(spark, tmp_path):
+    from text2mc_dataprocessor_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from text2mc_dataprocessor_spark.sources.fixtures import (
+        generate_corpus,
+        pages_to_spark,
+        seeds_to_spark,
+    )
+
+    corpus = generate_corpus(
+        n_hosts=2, listing_pages_per_host=1, links_per_listing=2, seed=9
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "f"), pages_to_spark(spark, corpus),
+        config=CrawlConfig(politeness_budget=4, n_buckets=8),
+    )
+    eng.init(seeds_to_spark(spark, corpus))
+    eng.run(rounds=1)
+    with pytest.raises(ValueError, match="integral"):
+        eng.rescore(
+            spark.createDataFrame([("h0.x", 2.5)], "host string, score double")
+        )

@@ -21,7 +21,7 @@ edges = a few hash joins per iteration, AQE-planned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,3 +59,25 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def pagerank_score_classes(edges: DataFrame, n_classes: int = 4,
+                           n_iter: int = 10, damping: float = 0.85,
+                           src: str = "src", dst: str = "dst") -> DataFrame:
+    """PageRank quantized into ``n_classes`` INTEGRAL score classes —
+    the shape ``CrawlEngine.rescore`` consumes: (node, score) with
+    score ∈ {0 … n_classes−1} as a double, higher rank → higher class.
+
+    The dequeue's order-respecting group id requires integral scores
+    (operators/frontier.py ``dequeue_group_expr`` contract), so a
+    continuous rank signal enters the frontier as equi-depth classes,
+    not raw floats. Quantization is an ``ntile`` over the NODE table —
+    host-level graphs are |hosts| rows (orders of magnitude below URL
+    count), so the single-partition window is a non-issue; for URL-level
+    graphs quantize against approx rank quantiles instead."""
+    ranks = pagerank(edges, n_iter=n_iter, damping=damping, src=src, dst=dst)
+    w = Window.orderBy(F.col("rank").asc(), F.col("node").asc())
+    return ranks.select(
+        "node",
+        (F.ntile(n_classes).over(w) - 1).cast("double").alias("score"),
+    )

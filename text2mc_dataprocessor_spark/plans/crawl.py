@@ -564,6 +564,57 @@ class CrawlEngine:
             self._commit_state()
         return done
 
+    def rescore(self, scores: DataFrame, on: str = "host",
+                broadcast_scores: bool = True) -> dict:
+        """Reprioritize the QUEUED frontier from an external signal —
+        e.g. link-graph PageRank classes (operators/graph.py
+        ``pagerank_score_classes``): ``scores`` is ``(on, score)``,
+        joined onto the queue by ``on`` (any queue column — host for
+        graph signals, url for per-page ones); matched rows take the
+        new score, unmatched rows keep theirs.
+
+        Scores must be INTEGRAL-VALUED (validated here): the
+        order-respecting dequeue group id truncates ``(2 - score)``, so
+        fractional scores would interleave priority classes across
+        groups (operators/frontier.py contract). Continuous signals are
+        quantized upstream into classes.
+
+        The pruned-dequeue per-group counts are invalidated, not
+        patched — the next dequeue pays one narrow count scan, exactly
+        the attach path. ``broadcast_scores`` fits host-level signals
+        (|hosts| ≪ |urls|); pass False for URL-keyed scores, which
+        then hash-join on the queue's own key. Returns
+        ``{"rescored": <matched row count>}``."""
+        if self._state is None:
+            self._load_state()
+        bad = scores.filter(
+            F.col("score") != F.floor("score").cast("double")
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                "rescore requires integral-valued scores (dequeue group "
+                "contract) — quantize the signal into classes first, e.g. "
+                "pagerank_score_classes()"
+            )
+        queue = self._state["queue"]
+        sc = scores.select(
+            F.col(on), F.col("score").cast("double").alias("_new_score")
+        )
+        if broadcast_scores:
+            sc = F.broadcast(sc)
+        joined = queue.join(sc, on, "left").persist()
+        n_matched = joined.filter(F.col("_new_score").isNotNull()).count()
+        new_queue = (
+            joined.withColumn("score", F.coalesce("_new_score", "score"))
+            .select(*queue.columns)  # preserve FRONTIER column order
+            .localCheckpoint(eager=True)
+        )
+        joined.unpersist()
+        self._state["queue"] = new_queue
+        self._queue_grp_counts = None  # rebuilt lazily on next dequeue
+        self._dirty = True
+        return {"rescored": int(n_matched)}
+
     @staticmethod
     def _union_or_none(deltas: list[DataFrame]) -> DataFrame | None:
         if not deltas:
