@@ -1,0 +1,95 @@
+"""C4-style line/page cleaning rules (operators/textclean.py) — each
+rule exercised in isolation plus the reassembly order and passthrough
+columns. The corpus-scale hash check against the DuckDB mirror is the
+``c4_line_clean`` driver query."""
+
+import pandas as pd
+
+from text2mc_dataprocessor_spark.operators.textclean import c4_clean
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "extra", "text"])
+    )
+
+
+def _clean_map(spark, rows, **kw):
+    out = c4_clean(_docs(spark, rows), **kw).toPandas()
+    return {r.doc_id: (r.text, r.n_kept_lines) for r in out.itertuples()}
+
+
+GOOD = "This line is fine.\nAnother good line here!\nAnd a third one?"
+
+
+def test_line_rules(spark):
+    rows = [
+        # terminal punctuation required: middle line dropped
+        (0, "a", "One good line stays.\nno terminal punct\nSecond good line stays.\nThird good line stays."),
+        # word-count floor: two-word line dropped
+        (1, "b", "Too short.\nLong enough line one.\nLong enough line two.\nLong enough line three."),
+        # javascript mention dropped even when otherwise well-formed
+        (2, "c", GOOD + "\nPlease enable JavaScript to continue."),
+    ]
+    got = _clean_map(spark, rows)
+    assert got[0][1] == 3 and "no terminal punct" not in got[0][0]
+    assert got[1][1] == 3 and "Too short." not in got[1][0]
+    assert got[2][1] == 3 and "JavaScript" not in got[2][0]
+
+
+def test_page_rules(spark):
+    rows = [
+        (0, "a", GOOD),                          # survives (3 kept lines)
+        (1, "b", "Only one good line here."),    # < min_kept_lines
+        (2, "c", GOOD + "\nlorem ipsum dolor."),  # marker drops the page
+        (3, "d", GOOD + "\nvar x = {1};"),        # curly brace drops it
+    ]
+    got = _clean_map(spark, rows)
+    assert set(got) == {0}
+    assert got[0] == (GOOD, 3)
+
+
+def test_order_preserved_and_columns_pass_through(spark):
+    text = "Zeta comes first here.\nskip\nAlpha comes second here."
+    out = c4_clean(
+        _docs(spark, [(7, "keepme", text)]), min_kept_lines=2
+    ).toPandas()
+    assert list(out.columns) == ["doc_id", "extra", "text", "n_kept_lines"]
+    assert out.extra[0] == "keepme"
+    assert out.text[0] == "Zeta comes first here.\nAlpha comes second here."
+
+
+def test_lines_trimmed_in_output(spark):
+    text = "  Padded line stays here.  \nAnother padded line stays.\nA third padded line stays."
+    out = c4_clean(_docs(spark, [(1, "x", text)])).toPandas()
+    assert out.text[0].startswith("Padded line stays here.")
+    assert out.n_kept_lines[0] == 3
+
+
+def test_scrub_pii_rewrites_and_counts(spark):
+    from text2mc_dataprocessor_spark.operators.textclean import scrub_pii
+
+    rows = [
+        (0, "x", "mail a.b-c_d@sub.example.co.uk now"),
+        (1, "y", "host 192.168.0.1 and 8.8.8.8 up"),
+        (2, "z", "user@1.2.3.4 stays ip-ish"),   # no TLD -> not an email
+        (3, "w", "nothing to scrub here"),
+    ]
+    out = {r.doc_id: r for r in scrub_pii(_docs(spark, rows)).toPandas().itertuples()}
+    assert out[0].text == "mail <EMAIL> now" and out[0].n_emails == 1
+    assert out[1].text == "host <IP> and <IP> up" and out[1].n_ips == 2
+    assert out[2].text == "user@<IP> stays ip-ish"
+    assert (out[2].n_emails, out[2].n_ips) == (0, 1)
+    assert out[3].text == rows[3][2] and out[3].n_emails == 0
+    # schema: text rewritten in place, counts appended, others pass through
+    assert out[0].extra == "x"
+
+
+def test_scrub_pii_custom_tokens(spark):
+    from text2mc_dataprocessor_spark.operators.textclean import scrub_pii
+
+    out = scrub_pii(
+        _docs(spark, [(0, "a", "see a@b.io at 1.2.3.4")]),
+        email_token="[E]", ip_token="[I]",
+    ).toPandas()
+    assert out.text[0] == "see [E] at [I]"

@@ -165,3 +165,83 @@ def test_warc_feeds_crawl_pages_table(spark, tmp_path):
     want = corpus.golden.sort_values("url").reset_index(drop=True)
     assert list(got.url) == list(want.url)
     assert list(got.download_url) == list(want.download_url)
+
+
+def test_wet_conversion_records(spark):
+    """WET layout: conversion records, text/plain, no HTTP envelope —
+    text bytes roundtrip exactly through the ``wet_records`` scan, and
+    a mixed WARC+WET stream filters by record type."""
+    from text2mc_dataprocessor_spark.sources.warc import wet_records
+
+    texts = [
+        ("https://h0.example.com/a", "2024-03-01T10:00:00Z", "alpha text\nline two"),
+        ("https://h1.example.com/b", "2024-03-01T10:00:05Z", "béta — unicode ✓"),
+        ("https://h0.example.com/c", "2024-03-01T10:00:09Z", ""),
+    ]
+    wet = encode_warc(
+        [(u, t, s.encode("utf-8")) for u, t, s in texts],
+        warc_type="conversion", http_envelope=False,
+    )
+    # plain decode: type + untouched payload (no envelope stripping)
+    got = decode_warc(wet)
+    assert [r["warc_type"] for r in got] == ["conversion"] * 3
+    assert [r["payload"].decode() for r in got] == [s for _, _, s in texts]
+    # a response record mixed in is ignored by the WET scan
+    mixed = wet + encode_warc(RECS[:1])
+    blobs = spark.createDataFrame(
+        [(0, bytearray(mixed))], "file_id long, content binary"
+    )
+    out = wet_records(blobs).orderBy("url").collect()
+    assert [(r.url, r.text) for r in out] == sorted(
+        [(u, s) for u, _, s in texts]
+    )
+
+
+def test_wet_sink_roundtrip_and_random_access(spark, tmp_path):
+    """write_wet_archive → .wet.gz files that wet_records reads back
+    text-byte-identically; the returned index rows give (offset,
+    length) random access to single conversion records."""
+    import gzip as _gzip
+    import os
+
+    import pandas as pd
+
+    from text2mc_dataprocessor_spark.sources.warc import (
+        decode_warc as _dec,
+        wet_records,
+        write_wet_archive,
+    )
+
+    texts = [
+        (f"https://h{i % 3}.example.com/d{i}",
+         pd.Timestamp("2024-03-01T00:00:00Z") + pd.Timedelta(seconds=i),
+         f"doc {i} body — unicode ✓ line\nsecond line {i}")
+        for i in range(13)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(texts, columns=["url", "warc_ts", "text"])
+    )
+    out_dir = str(tmp_path / "wet")
+    idx = write_wet_archive(docs, out_dir, records_per_file=5).toPandas()
+    assert idx.error.isna().all() and len(idx) == 13
+    assert sorted(set(idx.filename)) == [
+        "part-00000.wet.gz", "part-00001.wet.gz", "part-00002.wet.gz"]
+    # read the whole archive back through the WET scan
+    blobs = spark.createDataFrame(
+        [(i, bytearray(open(os.path.join(out_dir, f), "rb").read()))
+         for i, f in enumerate(sorted(set(idx.filename)))],
+        "file_id long, content binary",
+    )
+    got = wet_records(blobs).toPandas().sort_values("url")
+    want = pd.DataFrame(texts, columns=["url", "warc_ts", "text"]) \
+        .sort_values("url")
+    assert list(got.url) == list(want.url)
+    assert list(got.text) == list(want.text)
+    # random access: slice ONE member by (offset, length), gunzip, parse
+    row = idx.sort_values(["filename", "offset"]).iloc[7]
+    with open(os.path.join(out_dir, row.filename), "rb") as f:
+        f.seek(int(row.offset))
+        member = f.read(int(row.length))
+    [rec] = _dec(_gzip.decompress(member) if member[:2] == b"\x1f\x8b"
+                 else member)
+    assert rec["url"] == row.url and rec["warc_type"] == "conversion"

@@ -223,7 +223,8 @@ def grouped_counts(df: DataFrame, group_expr) -> dict[int, int]:
 
 def dequeue_pruned(queued: DataFrame, politeness_budget: int,
                    global_budget: int, grp_counts: dict[int, int],
-                   info: dict | None = None, seq_block: int = 4096) -> DataFrame:
+                   info: dict | None = None, seq_block: int = 4096,
+                   host_budgets: DataFrame | None = None) -> DataFrame:
     """``dequeue`` for the global-budget regime without scanning,
     shuffling or window-sorting the whole queue: read only a PREFIX of
     the priority-ordered groups that provably contains every winner.
@@ -233,7 +234,10 @@ def dequeue_pruned(queued: DataFrame, politeness_budget: int,
     within-host rank is decided only by better-priority same-host rows,
     which live in lower-or-equal groups — hence inside the prefix too.
     So if the per-host-capped prefix yields ≥ global_budget rows, the
-    true top-global_budget set is entirely inside the prefix. If it
+    true top-global_budget set is entirely inside the prefix. The
+    argument only needs the per-host cap to be a function of the host,
+    so ``host_budgets`` overrides (see ``dequeue``) preserve soundness
+    unchanged. If it
     yields fewer (hot hosts concentrated the prefix), the prefix is
     extended and re-run — the loop ends at the full queue, which is the
     plain ``dequeue``. Per-group counts come from ``grp_counts``,
@@ -266,6 +270,7 @@ def dequeue_pruned(queued: DataFrame, politeness_budget: int,
             sub, politeness_budget, None, info=sub_info,
             max_seq=(1 << 34) * seq_block,  # any bound ≥ max seq works for
             # the rank's OWN grouping; pass the stable expr's domain top
+            host_budgets=host_budgets,
         )
         if sub_info["n"] >= global_budget or whole:
             if info is not None:
@@ -295,10 +300,18 @@ def dequeue_pruned(queued: DataFrame, politeness_budget: int,
 def dequeue(queued: DataFrame, politeness_budget: int,
             global_budget: int | None = None,
             info: dict | None = None,
-            max_seq: int | None = None) -> DataFrame:
+            max_seq: int | None = None,
+            host_budgets: DataFrame | None = None) -> DataFrame:
     """Top-k QUEUED rows per host (k = politeness budget), plus a
     ``dequeue_rank`` giving the deterministic within-round order
     (distributed rank — no single-partition window).
+
+    ``host_budgets`` (optional, ``(host, host_budget int)``) overrides
+    the uniform k per host — the crawl-delay path: hosts absent from it
+    keep ``politeness_budget``; a 0 budget dequeues nothing from that
+    host this round (its rows stay queued). A small broadcast dimension
+    (|hosts| ≪ |urls|) joined before the per-host window, so the big
+    side still shuffles once, on ``host``.
 
     ``info`` (optional) receives the exact dequeued count and any cached
     intermediate, piggybacked on the rank's offsets collect — the crawl
@@ -307,10 +320,18 @@ def dequeue(queued: DataFrame, politeness_budget: int,
     (``with_grouped_rank`` — single pass, no sampling); without it the
     generic sampled range rank runs."""
     per_host = Window.partitionBy("host").orderBy(*priority_order())
+    if host_budgets is not None:
+        cap = F.coalesce(F.col("host_budget"), F.lit(politeness_budget))
+        queued = queued.join(
+            F.broadcast(host_budgets.select("host", "host_budget")),
+            "host", "left",
+        )
+    else:
+        cap = F.lit(politeness_budget)
     picked = (
         queued.withColumn("host_rank", F.row_number().over(per_host))
-        .filter(F.col("host_rank") <= politeness_budget)
-        .drop("host_rank")
+        .filter(F.col("host_rank") <= cap)
+        .drop("host_rank", *(["host_budget"] if host_budgets is not None else []))
     )
     if max_seq is not None:
         if info is not None:

@@ -118,6 +118,43 @@ def parse_robots_txt(df: DataFrame, text_col: str = "robots_txt",
     return df.select("host", text_col).mapInPandas(run, ROBOTS_RULES_SCHEMA)
 
 
+def crawl_delay_budgets(robots: DataFrame, round_index: int,
+                        round_interval_ms: int,
+                        politeness_budget: int) -> DataFrame:
+    """Robots ``Crawl-delay`` → this round's per-host dequeue budgets
+    ``(host, host_budget)`` for ``dequeue(host_budgets=…)``.
+
+    Token-bucket by round, stateless and deterministic: a crawl round
+    models ``round_interval_ms`` of wall time, so host h with delay D
+    may be fetched ``interval/D`` times per round on average. The
+    per-round grant is the integer increment of the cumulative
+    entitlement::
+
+        tokens(r) = floor((r+1)·I/D) − floor(r·I/D)
+
+    which sums to exactly ``floor(R·I/D)`` over any R rounds — a host
+    with D > I gets one fetch every ``ceil(D/I)`` rounds (0-token
+    "wait" rounds in between), a host with D ≤ I gets ``~I/D`` per
+    round, always capped at ``politeness_budget``. No per-host timer
+    state: the round index IS the clock, so the schedule survives
+    resume (``round_number()`` is persisted) and replays identically.
+
+    Only hosts with a positive ``crawl_delay_ms`` emit a row — absent
+    hosts default to ``politeness_budget`` in the dequeue join. The
+    result is a tiny per-round dimension (|hosts| rows, broadcast)."""
+    r = F.lit(round_index).cast("long")
+    i = F.lit(round_interval_ms).cast("long")
+    d = F.col("crawl_delay_ms").cast("long")
+    tokens = F.floor((r + 1) * i / d) - F.floor(r * i / d)
+    return (
+        robots.filter(F.col("crawl_delay_ms") > 0)
+        .select(
+            "host",
+            F.least(tokens, F.lit(politeness_budget)).cast("int").alias("host_budget"),
+        )
+    )
+
+
 def salt_fetch_partitions(df: DataFrame, n_partitions: int, salt_buckets: int = 16) -> DataFrame:
     """Spread a host-skewed fetch batch: repartition by (host, salt)."""
     salted = df.withColumn(

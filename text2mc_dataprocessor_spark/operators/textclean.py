@@ -1,0 +1,105 @@
+"""C4-style heuristic text cleaning — line and page rules.
+
+The C4 corpus construction (Raffel et al. 2020, "Exploring the Limits
+of Transfer Learning…", §2.2 — public paper) cleans Common-Crawl text
+with deterministic heuristics; this module implements the
+line/page-rule subset as pure-JVM column expressions (one
+``filter``/``transform`` pass over the line array — no Python, no
+shuffle; a 100 TB corpus cleans inside the scan stage):
+
+line rules (a line survives iff ALL hold):
+- ends in a terminal punctuation mark (``. ! ? "``),
+- has at least ``min_words_per_line`` whitespace-separated words,
+- does not contain "javascript" (case-insensitive);
+
+page rules (a page survives iff ALL hold):
+- at least ``min_kept_lines`` surviving lines,
+- does not contain "lorem ipsum" (case-insensitive),
+- does not contain a curly brace ``{``.
+
+Out of scope (documented): C4's three-sentence-span global dedup is the
+corpus-level exact-span dedup — ``operators/dedup.py``'s
+``dedup_paragraphs`` is the engine's span-dedup primitive; its
+bad-words list is environment-specific. Kept lines are rejoined with
+the original separator, order preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_line_keep_expr(line: Column, min_words_per_line: int = 3) -> Column:
+    """The line predicate over one (untrimmed) line value."""
+    t = F.trim(line)
+    words = F.size(F.split(t, r"\s+"))
+    return (
+        (t != "")
+        & t.rlike(_TERMINAL_RE)
+        & (words >= min_words_per_line)
+        & ~F.contains(F.lower(t), F.lit("javascript"))
+    )
+
+
+#: FineWeb-style PII anonymization (Penedo et al. 2024 §3.5 — public
+#: paper/dataset card): web corpora destined for training scrub email
+#: addresses and public IPv4 addresses with fixed placeholder tokens.
+#: The patterns stay inside the common Java-regex ∩ RE2 dialect
+#: (char classes, \d, \b, bounded quantifiers — no lookarounds), so
+#: the DuckDB oracle runs the IDENTICAL pattern strings.
+EMAIL_RE = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              email_token: str = EMAIL_TOKEN,
+              ip_token: str = IP_TOKEN) -> DataFrame:
+    """Rewrite ``text_col`` with emails/IPv4s replaced by placeholder
+    tokens and append match counts (``n_emails``, ``n_ips``) — all
+    JVM-side ``regexp_replace``/``regexp_count``, no Python, no
+    shuffle: at 100 TB the scrub rides the scan stage. Emails are
+    scrubbed FIRST so an address's host part is never half-matched as
+    an IP-looking string by the second pass."""
+    text = F.col(text_col)
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, email_token),
+            IPV4_RE, ip_token,
+        ).alias(text_col),
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+    )
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             min_words_per_line: int = 3, min_kept_lines: int = 3,
+             sep: str = "\n") -> DataFrame:
+    """→ the surviving pages, ``text_col`` rewritten to the kept lines
+    (original order, ``sep``-rejoined) plus ``n_kept_lines``. All other
+    input columns pass through unchanged."""
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(lines, lambda l: c4_line_keep_expr(l, min_words_per_line))
+    lowered = F.lower(F.col(text_col))
+    page_ok = (
+        (F.size(kept) >= min_kept_lines)
+        & ~F.contains(lowered, F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+    )
+    others = [c for c in docs.columns if c != text_col]
+    return (
+        docs.withColumn("_kept", kept)
+        .filter(page_ok)
+        .select(
+            *others,
+            F.array_join(F.transform("_kept", lambda l: F.trim(l)),
+                         sep).alias(text_col),
+            F.size("_kept").cast("long").alias("n_kept_lines"),
+        )
+    )

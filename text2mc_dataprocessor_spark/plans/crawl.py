@@ -52,7 +52,11 @@ from ..operators.frontier import (
     stable_dequeue_group_expr,
     with_grouped_rank,
 )
-from ..operators.politeness import robots_gate, salt_fetch_partitions
+from ..operators.politeness import (
+    crawl_delay_budgets,
+    robots_gate,
+    salt_fetch_partitions,
+)
 from ..operators.seen import PartitionedBloom, dedup_and_split_new
 from ..sources.fetch import TableFetcher
 from ..sources.snapshots import BucketedSnapshotTable, SnapshotTable
@@ -128,6 +132,16 @@ class CrawlConfig:
     # in full instead of appending a segment, bounding read fan-in at
     # O(K) dirs per table on thousand-round crawls. None disables.
     compact_history_every: int | None = 32
+    # Opt-in robots Crawl-delay enforcement: the wall-time each crawl
+    # round models. When set AND the robots table carries a
+    # crawl_delay_ms column, per-host dequeue budgets are derated by a
+    # stateless round-indexed token bucket (operators/politeness.py
+    # ``crawl_delay_budgets``) — a host with delay > interval is fetched
+    # once every ceil(delay/interval) rounds. None (default) keeps the
+    # uniform politeness_budget: behavior is byte-identical to pre-delay
+    # engines, and the reference (one sequential browser) has no delay
+    # concept to preserve.
+    round_interval_ms: int | None = None
 
 
 _STATE_TABLES = (
@@ -826,6 +840,19 @@ class CrawlEngine:
         # the queue IS the QUEUED set (frontier = queue ∪ done history)
         queue = self._state["queue"]
         allowed, denied = robots_gate(queue, self.robots)
+        # robots Crawl-delay → per-host budget derating (opt-in): a tiny
+        # per-round broadcast dimension; r-1 is the 0-based round index
+        # the token bucket integrates over
+        host_budgets = None
+        if (
+            cfg.round_interval_ms is not None
+            and self.robots is not None
+            and "crawl_delay_ms" in self.robots.columns
+        ):
+            host_budgets = crawl_delay_budgets(
+                self.robots, r - 1, cfg.round_interval_ms,
+                cfg.politeness_budget,
+            )
         # the rank's offsets collect IS the count — one job, not two;
         # max_seq enables the sampling-free grouped rank. In the
         # global-budget regime the dequeue reads only a prefix of the
@@ -844,6 +871,7 @@ class CrawlEngine:
             dequeued = dequeue_pruned(
                 allowed, cfg.politeness_budget, cfg.global_budget,
                 self._queue_grp_counts, info=deq_info,
+                host_budgets=host_budgets,
             ).cache()
             self.prune_stats.append({
                 "round": r,
@@ -854,7 +882,7 @@ class CrawlEngine:
         else:
             dequeued = dequeue(
                 allowed, cfg.politeness_budget, cfg.global_budget, info=deq_info,
-                max_seq=self._max_seq,
+                max_seq=self._max_seq, host_budgets=host_budgets,
             ).cache()
         n_deq = deq_info["n"]
         self._pending_unpersist.extend(deq_info.get("persisted", []))
@@ -870,7 +898,14 @@ class CrawlEngine:
             n_denied = 0
         tick("dequeue")
         if n_deq == 0 and n_denied == 0:
-            return False
+            # With delay budgets a 0-dequeue round can be a WAIT round:
+            # every queued host's token bucket is empty this round but
+            # refills later (the token bucket grants every host with
+            # delay D a fetch within ceil(D/interval) rounds, so wait
+            # streaks are bounded — no livelock). Only a genuinely empty
+            # queue drains the crawl.
+            if host_budgets is None or allowed.limit(1).count() == 0:
+                return False
 
         # ---- fetch. Replay mode joins the dequeued batch against the
         # pages table: small batches broadcast (the 100 TB side is

@@ -2216,5 +2216,617 @@ def warc_archive_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "wet_text_records",
+    """
+    SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+           md5(text) AS text_md5,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def wet_text_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET source (Common Crawl's extracted-text sidecar: WARC
+    ``conversion`` records, text/plain, no HTTP envelope —
+    sources/warc.py ``wet_records``): the first 30 documents are
+    encoded into a WET blob (one gzip member per record) and decoded
+    back by the Arrow-batched scan; urls and full text bytes must
+    roundtrip exactly (md5-checked against the table itself)."""
+    import pandas as pd
+
+    from .sources.warc import encode_warc, wet_records
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    base = pd.Timestamp("2024-03-01T00:00:00Z")
+    blob = encode_warc(
+        [
+            (
+                f"https://docs.example.com/{r.doc_id}",
+                base + pd.Timedelta(seconds=int(r.doc_id)),
+                r.text.encode("utf-8"),
+            )
+            for r in rows
+        ],
+        warc_type="conversion",
+        http_envelope=False,
+    )
+    blobs = spark.createDataFrame(
+        [(0, bytearray(blob))], "file_id long, content binary"
+    )
+    return (
+        wet_records(blobs)
+        .filter(F.col("error").isNull())
+        .select(
+            "url",
+            F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@_q(
+    "c4_line_clean",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             replace(text, ' join ', '.' || chr(10))
+             || CASE WHEN doc_id % 13 = 0
+                     THEN chr(10) || 'Lines mentioning javascript should vanish.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 17 = 0 THEN '{' ELSE '' END AS text
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+               l -> trim(l) <> ''
+                    AND regexp_matches(trim(l), '[.!?"]$')
+                    AND len(string_split_regex(trim(l), '\\s+')) >= 3
+                    AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+      FROM src
+    )
+    SELECT doc_id,
+           md5(array_to_string(list_transform(kept, l -> trim(l)), chr(10)))
+               AS text_md5,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines
+    FROM f
+    WHERE len(kept) >= 3
+      AND NOT contains(lower(text), 'lorem ipsum')
+      AND NOT contains(text, '{')
+    """,
+)
+def c4_line_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic cleaning (operators/textclean.py ``c4_clean``
+    — the line/page rules of Raffel et al. 2020 §2.2 as pure-JVM array
+    expressions): documents get deterministic multi-line text (every
+    ' join ' becomes a sentence break), every 13th doc an injected line
+    that passes the word/punctuation rules but mentions javascript
+    (must be line-dropped), every 17th a curly brace (must be
+    page-dropped). The oracle is the literal list_filter mirror, so
+    each rule and the kept-line reassembly are hash-checked."""
+    from .operators.textclean import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" join "), F.lit(".\n")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("\nLines mentioning javascript should vanish."),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("{")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_clean(docs).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        "n_kept_lines",
+    )
+
+
+@_q(
+    "crawl_delay_budget_dequeue",
+    """
+    WITH q AS (
+      SELECT 'https://d' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p'
+                 || CAST(doc_id AS VARCHAR) AS url,
+             'd' || CAST(doc_id % 5 AS VARCHAR) AS host,
+             CAST(doc_id % 3 AS INT) AS depth,
+             CAST(doc_id % 2 AS DOUBLE) AS score,
+             doc_id AS seq
+      FROM documents WHERE doc_id < 200
+    ), hb AS (
+      SELECT * FROM (VALUES ('d0', 2), ('d1', 0)) AS t(host, hb)
+    ), ranked AS (
+      SELECT q.*, COALESCE(hb.hb, 4) AS cap,
+             row_number() OVER (PARTITION BY q.host
+                                ORDER BY score DESC, depth ASC, seq ASC) AS hr
+      FROM q LEFT JOIN hb ON q.host = hb.host
+    )
+    SELECT url, host,
+           CAST(row_number() OVER (ORDER BY score DESC, depth ASC, seq ASC)
+                AS BIGINT) AS dequeue_rank
+    FROM ranked WHERE hr <= cap
+    """,
+)
+def crawl_delay_budget_dequeue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host budget OVERRIDES in the priority dequeue
+    (operators/frontier.py ``dequeue(host_budgets=…)`` — the robots
+    Crawl-delay enforcement path, operators/politeness.py
+    ``crawl_delay_budgets``): host d0 capped at 2, d1 starved at 0,
+    the rest at the uniform budget 4. The oracle is the literal
+    windowed formulation, so the per-host caps, the default fallback,
+    and the dense global dequeue_rank are all hash-checked. The
+    round-indexed token bucket that derives these budgets from
+    Crawl-delay is exact-schedule-tested in tests/test_crawl_delay.py."""
+    from .operators.frontier import dequeue
+
+    d = F.col("doc_id")
+    q = (
+        _t(spark, sf_dir, "documents")
+        .filter(d < 200)
+        .select(
+            F.concat(
+                F.lit("https://d"), (d % 5).cast("string"),
+                F.lit(".example.com/p"), d.cast("string"),
+            ).alias("url"),
+            F.concat(F.lit("d"), (d % 5).cast("string")).alias("host"),
+            d.alias("url_hash"),
+            F.lit(0).alias("bucket"),
+            F.lit("detail").alias("kind"),
+            (d % 3).cast("int").alias("depth"),
+            (d % 2).cast("double").alias("score"),
+            F.lit("QUEUED").alias("state"),
+            d.alias("discovered_seq"),
+            F.lit(0).alias("round"),
+            F.lit(None).cast("string").alias("parent_url"),
+        )
+    )
+    hb = spark.createDataFrame(
+        [("d0", 2), ("d1", 0)], "host string, host_budget int"
+    )
+    return dequeue(q, politeness_budget=4, host_budgets=hb).select(
+        "url", "host", "dequeue_rank"
+    )
+
+
+_GOPHER_INJECT_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' and that have with be of to' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ' || repeat('# ', 12) ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN chr(10) || '- first bullet item here'
+                          || chr(10) || '- second bullet item'
+                          || chr(10) || 'plain closing line' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN chr(10) || 'trailing thought…'
+                          || chr(10) || 'another line ends...' ELSE '' END
+             AS text
+      FROM documents
+"""
+
+
+def _gopher_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 2 == 0, F.lit(" and that have with be of to"))
+                .otherwise(F.lit("")),
+                F.when(d % 7 == 0, F.lit(" " + "# " * 12))
+                .otherwise(F.lit("")),
+                F.when(d % 11 == 0, F.lit(
+                    "\n- first bullet item here\n- second bullet item"
+                    "\nplain closing line")).otherwise(F.lit("")),
+                F.when(d % 13 == 0, F.lit(
+                    "\ntrailing thought…\nanother line ends...")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+
+
+@_q(
+    "gopher_quality_flags",
+    """
+    WITH src AS (""" + _GOPHER_INJECT_SQL + """
+    ), m AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS words,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                         l -> l <> '') AS lines
+      FROM src
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS word_count,
+             list_aggregate(list_transform(words, w -> len(w)),
+                            'sum')::DOUBLE / len(words) AS mean_word_len,
+             (len(text) - len(replace(text, '#', '')))::DOUBLE
+                 / len(words) AS hash_word_ratio,
+             ((len(text) - len(replace(text, '...', ''))) // 3
+              + (len(text) - len(replace(text, '…', ''))))::DOUBLE
+                 / len(words) AS ellipsis_word_ratio,
+             len(list_filter(lines,
+                             l -> substr(l, 1, 1) IN ('-', '*', '•')))::DOUBLE
+                 / len(lines) AS bullet_line_frac,
+             len(list_filter(lines,
+                             l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE
+                 / len(lines) AS ellipsis_line_frac,
+             len(list_filter(words,
+                             w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                 / len(words) AS alpha_word_frac,
+             CAST(len(list_filter(
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                 s -> list_contains(list_transform(words, w -> lower(w)), s)
+             )) AS BIGINT) AS n_stop_words
+      FROM m
+    )
+    SELECT *,
+           (word_count BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND hash_word_ratio <= 0.1
+            AND ellipsis_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stop_words >= 2) AS gopher_quality_ok
+    FROM f
+    """,
+)
+def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality metrics (operators/quality.py
+    ``gopher_quality`` — the Rae et al. 2021 §A.1.1 rule family as one
+    pure-JVM projection, no Python, no shuffle): documents get
+    deterministic rule-trippers injected — every 2nd doc the stop-word
+    pack (without it the word-soup corpus fails the ≥2-stop-words
+    rule), every 7th a hash-symbol burst (> 0.1 symbol ratio), every
+    11th bullet lines, every 13th ellipsis lines. Every metric AND the
+    composed verdict are hash-checked against the literal DuckDB
+    mirror."""
+    from .operators.quality import gopher_quality
+
+    return gopher_quality(_gopher_inject(spark, sf_dir)).drop("text")
+
+
+@_q(
+    "gopher_repetition_stats",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             replace(text, ' join ', chr(10))
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'dup line here' || chr(10)
+                          || 'dup line here' || chr(10) || 'dup line here'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || chr(10) || 'para block repeats'
+                          || chr(10) || chr(10) || 'para block repeats'
+                     ELSE '' END AS text
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS words,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(list_transform(string_split(text,
+                                                     chr(10) || chr(10)),
+                                        p -> trim(p)), p -> p <> '') AS paras
+      FROM src
+    ), base AS (
+      SELECT doc_id, words,
+             list_aggregate(list_transform(words, w -> len(w)), 'sum')
+                 AS total_chars,
+             1 - len(list_distinct(lines))::DOUBLE / len(lines)
+                 AS dup_line_frac,
+             1 - list_aggregate(list_transform(list_distinct(lines),
+                                               l -> len(l)), 'sum')::DOUBLE
+                 / list_aggregate(list_transform(lines, l -> len(l)), 'sum')
+                 AS dup_line_char_frac,
+             1 - len(list_distinct(paras))::DOUBLE / len(paras)
+                 AS dup_para_frac,
+             1 - list_aggregate(list_transform(list_distinct(paras),
+                                               p -> len(p)), 'sum')::DOUBLE
+                 / list_aggregate(list_transform(paras, p -> len(p)), 'sum')
+                 AS dup_para_char_frac
+      FROM m
+    ), g2 AS (
+      SELECT doc_id, total_chars,
+             unnest(generate_series(1, len(words) - 1)) AS i, words
+      FROM base WHERE len(words) >= 2
+    ), g2c AS (
+      SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram,
+             list_aggregate(list_transform(words[i:i+1], w -> len(w)),
+                            'sum') AS gram_chars,
+             total_chars
+      FROM g2
+    ), t2 AS (
+      SELECT doc_id,
+             least(1.0, (cnt * gram_chars)::DOUBLE / total_chars)
+                 AS top_2gram_char_frac
+      FROM (SELECT doc_id, gram, count(*) AS cnt,
+                   any_value(gram_chars) AS gram_chars,
+                   any_value(total_chars) AS total_chars,
+                   row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY count(*) * any_value(gram_chars) DESC, gram ASC
+                   ) AS rn
+            FROM g2c GROUP BY doc_id, gram)
+      WHERE rn = 1
+    ), g3 AS (
+      SELECT doc_id, total_chars,
+             unnest(generate_series(1, len(words) - 2)) AS i, words
+      FROM base WHERE len(words) >= 3
+    ), g3c AS (
+      SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram,
+             list_aggregate(list_transform(words[i:i+2], w -> len(w)),
+                            'sum') AS gram_chars,
+             total_chars
+      FROM g3
+    ), t3 AS (
+      SELECT doc_id,
+             least(1.0, (cnt * gram_chars)::DOUBLE / total_chars)
+                 AS top_3gram_char_frac
+      FROM (SELECT doc_id, gram, count(*) AS cnt,
+                   any_value(gram_chars) AS gram_chars,
+                   any_value(total_chars) AS total_chars,
+                   row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY count(*) * any_value(gram_chars) DESC, gram ASC
+                   ) AS rn
+            FROM g3c GROUP BY doc_id, gram)
+      WHERE rn = 1
+    ), g4 AS (
+      SELECT doc_id, total_chars,
+             unnest(generate_series(1, len(words) - 3)) AS i, words
+      FROM base WHERE len(words) >= 4
+    ), g4c AS (
+      SELECT doc_id, array_to_string(words[i:i+3], ' ') AS gram,
+             list_aggregate(list_transform(words[i:i+3], w -> len(w)),
+                            'sum') AS gram_chars,
+             total_chars
+      FROM g4
+    ), t4 AS (
+      SELECT doc_id,
+             least(1.0, (cnt * gram_chars)::DOUBLE / total_chars)
+                 AS top_4gram_char_frac
+      FROM (SELECT doc_id, gram, count(*) AS cnt,
+                   any_value(gram_chars) AS gram_chars,
+                   any_value(total_chars) AS total_chars,
+                   row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY count(*) * any_value(gram_chars) DESC, gram ASC
+                   ) AS rn
+            FROM g4c GROUP BY doc_id, gram)
+      WHERE rn = 1
+    )
+    SELECT b.doc_id, b.dup_line_frac, b.dup_line_char_frac,
+           b.dup_para_frac, b.dup_para_char_frac,
+           COALESCE(t2.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+           COALESCE(t3.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+           COALESCE(t4.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+           (b.dup_line_frac <= 0.30 AND b.dup_para_frac <= 0.30
+            AND b.dup_line_char_frac <= 0.20
+            AND b.dup_para_char_frac <= 0.20
+            AND COALESCE(t2.top_2gram_char_frac, 0.0) <= 0.20
+            AND COALESCE(t3.top_3gram_char_frac, 0.0) <= 0.18
+            AND COALESCE(t4.top_4gram_char_frac, 0.0) <= 0.16)
+               AS gopher_repetition_ok
+    FROM base b
+    LEFT JOIN t2 ON b.doc_id = t2.doc_id
+    LEFT JOIN t3 ON b.doc_id = t3.doc_id
+    LEFT JOIN t4 ON b.doc_id = t4.doc_id
+    """,
+)
+def gopher_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics (operators/quality.py
+    ``gopher_repetition`` — dup line/paragraph fractions pure-JVM over
+    the split arrays; top-n-gram char fractions via one (doc, ngram)
+    keyed shuffle per n + per-doc argmax): documents get deterministic
+    multi-line text (every ' join ' a line break), every 3rd doc a
+    tripled duplicate line (trips the 0.30 line cap), every 4th a
+    doubled paragraph block. All seven metrics and the composed verdict
+    are hash-checked against the literal DuckDB window-mirror (same
+    occurrence-mass top-n-gram definition, same min(1, ·) clamp, same
+    mass-then-lexicographic tie-break)."""
+    from .operators.quality import gopher_repetition
+
+    d = F.col("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.replace(F.col("text"), F.lit(" join "), F.lit("\n")),
+                F.when(d % 3 == 0, F.lit(
+                    "\ndup line here\ndup line here\ndup line here")
+                ).otherwise(F.lit("")),
+                F.when(d % 4 == 0, F.lit(
+                    "\n\npara block repeats\n\npara block repeats")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return gopher_repetition(docs).drop("text")
+
+
+@_q(
+    "pii_scrub",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com or x.y@sub.host.org soon'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 and 192.168.1.' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b',
+                   '<EMAIL>', 'g'),
+                 '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS text_md5,
+           CAST(len(regexp_extract_all(text,
+                 '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                 '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips
+    FROM src
+    """,
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style PII anonymization (operators/textclean.py
+    ``scrub_pii`` — email + public-IPv4 placeholder rewrite, pure-JVM
+    regexp in the Java∩RE2 dialect so the oracle runs the IDENTICAL
+    pattern strings): every 3rd doc gets two injected addresses, every
+    5th two IPv4s; the scrubbed text (md5) and both match counts are
+    hash-checked against DuckDB's regexp_replace(…, 'g') mirror."""
+    from .operators.textclean import scrub_pii
+
+    d = F.col("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 3 == 0, F.concat(
+                    F.lit(" contact user"), d.cast("string"),
+                    F.lit("@mail.example.com or x.y@sub.host.org soon"),
+                )).otherwise(F.lit("")),
+                F.when(d % 5 == 0, F.concat(
+                    F.lit(" server 10.0."), (d % 256).cast("string"),
+                    F.lit(".7 and 192.168.1."), (d % 100).cast("string"),
+                )).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return scrub_pii(docs).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        "n_emails", "n_ips",
+    )
+
+
+@_q(
+    "gopher_repeated_ngrams",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' ' || array_to_string(
+                         string_split_regex(trim(text), '\s+')[1:8], ' ')
+                     ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN ' ' || array_to_string(
+                         string_split_regex(trim(text), '\s+')[1:12], ' ')
+                     ELSE '' END AS text
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\s+'),
+                            w -> lower(w)) AS words,
+             list_aggregate(list_transform(
+                 string_split_regex(trim(text), '\s+'), w -> len(w)), 'sum')
+                 AS total
+      FROM src
+    ), g5 AS (
+      SELECT doc_id, unnest(generate_series(1, len(words) - 4)) AS i, words
+      FROM b WHERE len(words) >= 5
+    ), g5c AS (
+      SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS g FROM g5
+    ), d5 AS (
+      SELECT doc_id, g FROM g5c GROUP BY doc_id, g HAVING count(*) >= 2
+    ), c5 AS (
+      SELECT DISTINCT doc_id, widx FROM (
+        SELECT g5c.doc_id, unnest(generate_series(g5c.i, g5c.i + 4)) AS widx
+        FROM g5c JOIN d5 ON g5c.doc_id = d5.doc_id AND g5c.g = d5.g)
+    ), wl AS (
+      SELECT doc_id, unnest(generate_series(1, len(words))) AS widx,
+             unnest(words) AS w
+      FROM b
+    ), s5 AS (
+      SELECT c5.doc_id, SUM(len(wl.w)) AS cov
+      FROM c5 JOIN wl ON c5.doc_id = wl.doc_id AND c5.widx = wl.widx
+      GROUP BY c5.doc_id
+    ), g10 AS (
+      SELECT doc_id, unnest(generate_series(1, len(words) - 9)) AS i, words
+      FROM b WHERE len(words) >= 10
+    ), g10c AS (
+      SELECT doc_id, i, array_to_string(words[i:i+9], ' ') AS g FROM g10
+    ), d10 AS (
+      SELECT doc_id, g FROM g10c GROUP BY doc_id, g HAVING count(*) >= 2
+    ), c10 AS (
+      SELECT DISTINCT doc_id, widx FROM (
+        SELECT g10c.doc_id, unnest(generate_series(g10c.i, g10c.i + 9)) AS widx
+        FROM g10c JOIN d10 ON g10c.doc_id = d10.doc_id AND g10c.g = d10.g)
+    ), s10 AS (
+      SELECT c10.doc_id, SUM(len(wl.w)) AS cov
+      FROM c10 JOIN wl ON c10.doc_id = wl.doc_id AND c10.widx = wl.widx
+      GROUP BY c10.doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.total > 0
+                THEN COALESCE(s5.cov, 0)::DOUBLE / b.total
+                ELSE 0.0 END AS rep_5gram_char_frac,
+           CASE WHEN b.total > 0
+                THEN COALESCE(s10.cov, 0)::DOUBLE / b.total
+                ELSE 0.0 END AS rep_10gram_char_frac
+    FROM b
+    LEFT JOIN s5 ON b.doc_id = s5.doc_id
+    LEFT JOIN s10 ON b.doc_id = s10.doc_id
+    """,
+)
+def gopher_repeated_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repeated-n-gram COVERAGE fractions (operators/quality.py
+    ``repeated_ngram_char_fracs`` — strict positional coverage of every
+    n-gram occurring ≥ 2×, all requested n fused into one three-shuffle
+    pipeline): every 2nd doc re-appends its own first 8 words (planting
+    repeated 5…8-grams), every 6th its first 12 words (repeated
+    10-grams). Both fractions are hash-checked against the literal
+    DuckDB coverage mirror (dup n-grams → covered word positions →
+    distinct → char sum)."""
+    from .operators.quality import repeated_ngram_char_fracs
+
+    d = F.col("doc_id")
+    words8 = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " ")
+    words12 = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12), " ")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 2 == 0, F.concat(F.lit(" "), words8))
+                .otherwise(F.lit("")),
+                F.when(d % 6 == 0, F.concat(F.lit(" "), words12))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return repeated_ngram_char_fracs(docs, ns=(5, 10))
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)

@@ -50,29 +50,41 @@ def _format_ts(ts) -> str:
     return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
-def encode_warc(records, gzip_members: bool = True) -> bytes:
+def encode_warc(records, gzip_members: bool = True,
+                warc_type: str = "response",
+                http_envelope: bool = True) -> bytes:
     """``records``: iterable of (url, ts, payload bytes). Emits one
-    ``response`` record per entry, payload wrapped as a minimal HTTP/1.1
-    200 response block (the Common Crawl layout). One gzip member per
-    record when ``gzip_members`` — the split-anywhere at-rest shape."""
+    record of ``warc_type`` per entry. The default is the Common Crawl
+    WARC layout: ``response`` records whose payload is wrapped as a
+    minimal HTTP/1.1 200 response block. ``warc_type='conversion',
+    http_envelope=False`` is the WET layout — extracted-text sidecar
+    records (Content-Type text/plain, bare payload), the shape
+    text-pipeline consumers read instead of raw HTML. One gzip member
+    per record when ``gzip_members`` — the split-anywhere at-rest
+    shape."""
     out = io.BytesIO()
     for url, ts, payload in records:
-        http = (
-            b"HTTP/1.1 200 OK" + _CRLF
-            + b"Content-Type: text/html" + _CRLF
-            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
-            + _CRLF + payload
-        )
+        if http_envelope:
+            body = (
+                b"HTTP/1.1 200 OK" + _CRLF
+                + b"Content-Type: text/html" + _CRLF
+                + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+                + _CRLF + payload
+            )
+            ctype = b"application/http; msgtype=response"
+        else:
+            body = payload
+            ctype = b"text/plain"
         hdr = (
             b"WARC/1.0" + _CRLF
-            + b"WARC-Type: response" + _CRLF
+            + b"WARC-Type: " + warc_type.encode() + _CRLF
             + b"WARC-Target-URI: " + url.encode() + _CRLF
             + b"WARC-Date: " + _format_ts(ts).encode() + _CRLF
-            + b"Content-Type: application/http; msgtype=response" + _CRLF
-            + b"Content-Length: " + str(len(http)).encode() + _CRLF
+            + b"Content-Type: " + ctype + _CRLF
+            + b"Content-Length: " + str(len(body)).encode() + _CRLF
             + _CRLF
         )
-        rec = hdr + http + _CRLF + _CRLF
+        rec = hdr + body + _CRLF + _CRLF
         out.write(gzip.compress(rec) if gzip_members else rec)
     return out.getvalue()
 
@@ -134,7 +146,10 @@ WARC_INDEX_SCHEMA = (
 
 def write_warc_archive(pages: DataFrame, out_dir: str,
                        records_per_file: int = 10_000,
-                       prefix: str = "part") -> DataFrame:
+                       prefix: str = "part",
+                       warc_type: str = "response",
+                       http_envelope: bool = True,
+                       suffix: str = ".warc.gz") -> DataFrame:
     """Distributed WARC **sink**: a pages table ``(url, warc_ts, html)``
     → ``<out_dir>/<prefix>-<file_id>.warc.gz`` files of
     ``records_per_file`` records each, clustered and ordered by SURT
@@ -172,7 +187,7 @@ def write_warc_archive(pages: DataFrame, out_dir: str,
 
     def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["file_id"].iloc[0])
-        filename = f"{prefix}-{fid:05d}.warc.gz"
+        filename = f"{prefix}-{fid:05d}{suffix}"
         path = os.path.join(out_dir, filename)
         pdf = pdf.sort_values(["urlkey", "url"], kind="stable")
         try:
@@ -182,7 +197,9 @@ def write_warc_archive(pages: DataFrame, out_dir: str,
                 for url, ts, key, payload in zip(
                     pdf["url"], pdf["warc_ts"], pdf["urlkey"], pdf["html"]
                 ):
-                    member = encode_warc_member(url, ts, bytes(payload))
+                    member = encode_warc_member(
+                        url, ts, bytes(payload),
+                        warc_type=warc_type, http_envelope=http_envelope)
                     f.write(member)
                     rows.append((fid, key, url, ts, filename, offset,
                                  len(member), None))
@@ -201,11 +218,14 @@ def write_warc_archive(pages: DataFrame, out_dir: str,
     return staged.groupBy("file_id").applyInPandas(per_file, WARC_INDEX_SCHEMA)
 
 
-def encode_warc_member(url: str, ts, payload: bytes) -> bytes:
+def encode_warc_member(url: str, ts, payload: bytes,
+                       warc_type: str = "response",
+                       http_envelope: bool = True) -> bytes:
     """One (url, ts, payload) → one reproducible gzip member
     (``mtime=0`` — byte-identical re-runs; Common Crawl's at-rest unit,
     addressable by (offset, length) from the CDX index)."""
-    rec = encode_warc([(url, ts, payload)], gzip_members=False)
+    rec = encode_warc([(url, ts, payload)], gzip_members=False,
+                      warc_type=warc_type, http_envelope=http_envelope)
     buf = io.BytesIO()
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
         gz.write(rec)
@@ -236,3 +256,44 @@ def warc_records(blobs: DataFrame, bin_col: str = "content",
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "error"])
 
     return blobs.select(bin_col).mapInPandas(run, WARC_SCHEMA)
+
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string, error string"
+
+
+def wet_records(blobs: DataFrame, bin_col: str = "content") -> DataFrame:
+    """WET source: (…, content binary) one WET file per row → one row
+    per ``conversion`` record, payload decoded as UTF-8 text:
+    ``(url, warc_ts, text, error)`` — the extracted-text sidecar shape
+    (Common Crawl's .wet companion to each .warc). Same file-parallel
+    scale shape and X4 isolation as ``warc_records``; undecodable bytes
+    are replaced, never fatal."""
+    from pyspark.sql import functions as F
+
+    recs = warc_records(blobs, bin_col=bin_col, types=("conversion",))
+    return recs.select(
+        "url", "warc_ts",
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+        "error",
+    )
+
+
+def write_wet_archive(docs: DataFrame, out_dir: str,
+                      records_per_file: int = 10_000,
+                      prefix: str = "part",
+                      text_col: str = "text") -> DataFrame:
+    """Distributed WET **sink** — the extracted-text companion of
+    ``write_warc_archive``: ``(url, warc_ts, text)`` →
+    ``<out_dir>/<prefix>-<file_id>.wet.gz`` files of WARC
+    ``conversion`` records (bare UTF-8 text/plain payload, no HTTP
+    envelope — the layout ``wet_records`` reads back), SURT-clustered,
+    one reproducible mtime=0 gzip member per record. Returns the same
+    per-record random-access index rows as the WARC sink, so a CDXJ
+    index over a WET archive is the same ``cdxj_lines`` call."""
+    from pyspark.sql import functions as F
+
+    pages = docs.select(
+        "url", "warc_ts", F.encode(F.col(text_col), "UTF-8").alias("html"))
+    return write_warc_archive(
+        pages, out_dir, records_per_file, prefix=prefix,
+        warc_type="conversion", http_envelope=False, suffix=".wet.gz")
