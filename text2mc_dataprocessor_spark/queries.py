@@ -2828,5 +2828,63 @@ def gopher_repeated_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_char_fracs(docs, ns=(5, 10))
 
 
+def _h2t_oracle() -> str:
+    from .functions.html2text import html2text_sql
+
+    return """
+    WITH src AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>p {color: red}</style>'
+             || '<script>if (a<b && c) { go(); }</script></head><body><p>'
+             || replace(text, ' join ', '</p><!-- sep --><p>')
+             || '&nbsp;tail &amp; &lt;raw&gt;</p></body></html>' AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(""" + html2text_sql("h") + """) AS text_md5,
+           CAST(length(""" + html2text_sql("h") + """) AS BIGINT) AS n_chars
+    FROM src
+    """
+
+
+@_q("html_to_text", None)
+def html_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic HTML→text extraction (functions/html2text.py — the
+    WARC→WET conversion step as a fixed JVM regexp_replace chain, no
+    Python in the loop): documents are wrapped in a deterministic page
+    template with script/style blocks, comments, entities and
+    paragraph structure; the extracted text is md5-checked against the
+    DuckDB oracle, which replays the IDENTICAL pattern chain via
+    ``html2text_sql`` (the module contract emitted as SQL — pattern
+    drift between engine and oracle is structurally impossible)."""
+    from .functions.html2text import html_to_text
+
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.encode(F.concat(
+                F.lit("<html><head><title>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</title><style>p {color: red}</style>"
+                      "<script>if (a<b && c) { go(); }</script>"
+                      "</head><body><p>"),
+                F.replace(F.col("text"), F.lit(" join "),
+                          F.lit("</p><!-- sep --><p>")),
+                F.lit("&nbsp;tail &amp; &lt;raw&gt;</p></body></html>"),
+            ), "UTF-8").alias("html"),
+        )
+    )
+    return html_to_text(pages).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+ORACLE_SQL["html_to_text"] = _h2t_oracle()
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)
