@@ -93,3 +93,27 @@ def test_scrub_pii_custom_tokens(spark):
         email_token="[E]", ip_token="[I]",
     ).toPandas()
     assert out.text[0] == "see [E] at [I]"
+
+
+def test_badwords_filter_tokens_and_phrases(spark):
+    from text2mc_dataprocessor_spark.operators.textclean import (
+        badwords_filter,
+    )
+
+    rows = [
+        (0, "a", "clean text with nothing bad at all"),
+        (1, "b", "contains BadWord here"),            # case-insensitive
+        (2, "c", "some bad phrase here twice: bad phrase here"),
+        (3, "d", "badword and bad phrase here both"),
+        (4, "e", "badwordish is NOT a match"),        # whole-word only
+    ]
+    out = {r.doc_id: r for r in badwords_filter(
+        _docs(spark, rows), ["badword", "Bad Phrase Here"]
+    ).toPandas().itertuples()}
+    assert out[0].n_badwords == 0 and out[0].badwords_ok
+    assert out[1].n_badwords == 1 and not out[1].badwords_ok
+    assert out[2].n_badwords == 2 and not out[2].badwords_ok
+    assert out[3].n_badwords == 2 and not out[3].badwords_ok
+    assert out[4].n_badwords == 0 and out[4].badwords_ok
+    # passthrough columns intact
+    assert out[1].extra == "b"

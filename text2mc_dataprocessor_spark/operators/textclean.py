@@ -19,9 +19,10 @@ page rules (a page survives iff ALL hold):
 
 Out of scope (documented): C4's three-sentence-span global dedup is the
 corpus-level exact-span dedup — ``operators/dedup.py``'s
-``dedup_paragraphs`` is the engine's span-dedup primitive; its
-bad-words list is environment-specific. Kept lines are rejoined with
-the original separator, order preserved.
+``dedup_paragraphs`` is the engine's span-dedup primitive. The
+bad-words page rule is ``badwords_filter`` below — the LIST stays
+injectable (it is environment-specific), the mechanism is not. Kept
+lines are rejoined with the original separator, order preserved.
 """
 
 from __future__ import annotations
@@ -76,6 +77,53 @@ def scrub_pii(docs: DataFrame, text_col: str = "text",
         F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
     )
+
+
+def badwords_filter(docs: DataFrame, badwords: list[str],
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """C4's remaining page rule — drop any page containing a word from
+    a blocklist — with the LIST injectable (the canonical list is
+    environment-specific; the mechanism is the engine's job). Appends
+    ``n_badwords`` (total occurrences) and ``badwords_ok`` (zero
+    tolerance, C4 semantics); the caller filters on the flag.
+
+    Matching is over lowercased whitespace-split words. Single-token
+    entries go through the scalable shape — explode words, broadcast
+    equi-join against the list, count per doc (at 100 TB the join is
+    word-row × tiny broadcast, never a per-doc linear scan of the
+    list). Multi-word entries (phrases) are matched as lowercased
+    substrings with an OR-fold JVM expression — phrase lists are
+    short in practice; both counts land in ``n_badwords``."""
+    spark = docs.sparkSession
+    lower = [b.lower() for b in badwords]
+    tokens = [b for b in lower if " " not in b]
+    phrases = [b for b in lower if " " in b]
+    lowered = F.lower(F.col(text_col))
+    counts = docs.select(F.col(id_col))
+    if tokens:
+        bad_df = spark.createDataFrame([(t,) for t in tokens], "_bad string")
+        words = F.split(F.trim(lowered), r"\s+")
+        exploded = docs.select(
+            F.col(id_col), F.explode(words).alias("_bad"))
+        tok_counts = (
+            exploded.join(F.broadcast(bad_df), "_bad")
+            .groupBy(id_col).agg(F.count("*").alias("_n_tok"))
+        )
+        counts = counts.join(tok_counts, id_col, "left")
+    else:
+        counts = counts.withColumn("_n_tok", F.lit(None).cast("long"))
+    phrase_n = None
+    for p in phrases:
+        occ = ((F.length(lowered) - F.length(
+            F.replace(lowered, F.lit(p), F.lit("")))) / len(p)).cast("long")
+        phrase_n = occ if phrase_n is None else phrase_n + occ
+    out = docs.join(counts, id_col, "left").withColumn(
+        "n_badwords",
+        (F.coalesce(F.col("_n_tok"), F.lit(0))
+         + (phrase_n if phrase_n is not None else F.lit(0))).cast("long"),
+    ).drop("_n_tok")
+    return out.withColumn("badwords_ok", F.col("n_badwords") == 0)
 
 
 def c4_clean(docs: DataFrame, text_col: str = "text",

@@ -2886,5 +2886,62 @@ def html_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["html_to_text"] = _h2t_oracle()
 
 
+@_q(
+    "badwords_page_filter",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 9 = 0 THEN ' badtokena end' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' Bad Phrase Two here and bad phrase two again'
+                     ELSE '' END AS text
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             len(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 w -> w IN ('badtokena', 'badtokenb'))) AS n_tok,
+             (len(lower(text))
+              - len(replace(lower(text), 'bad phrase two', '')))
+                 // len('bad phrase two') AS n_phrase
+      FROM src
+    )
+    SELECT doc_id,
+           CAST(n_tok + n_phrase AS BIGINT) AS n_badwords,
+           (n_tok + n_phrase = 0) AS badwords_ok
+    FROM tok
+    """,
+)
+def badwords_page_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 blocklist page rule (operators/textclean.py
+    ``badwords_filter`` — injectable list; single tokens via
+    explode + broadcast equi-join, phrases via JVM substring counts):
+    every 9th doc gets a planted blocklist token, every 7th a phrase
+    twice (mixed case — matching is lowercased). Occurrence counts and
+    the zero-tolerance verdict are hash-checked against the literal
+    DuckDB mirror."""
+    from .operators.textclean import badwords_filter
+
+    d = F.col("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 9 == 0, F.lit(" badtokena end"))
+                .otherwise(F.lit("")),
+                F.when(d % 7 == 0, F.lit(
+                    " Bad Phrase Two here and bad phrase two again")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return badwords_filter(
+        docs, ["badtokena", "badtokenb", "Bad Phrase Two"]
+    ).select("doc_id", "n_badwords", "badwords_ok")
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)
