@@ -77,7 +77,7 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # past the interference. EVERY epoch is reported in scaling_epochs
 # (and folded into the median), so the extension is auditable and the
 # median stays an honest all-samples statistic.
-MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "6"))
+MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "5"))
 EXTEND_BELOW = float(os.environ.get("SPARK_GRAFT_BENCH_EXTEND_BELOW", "0.8"))
 
 # Frontier size: big rounds amortize the per-round driver barrier (the
