@@ -217,3 +217,15 @@ def test_default_config_ignores_delay_column(spark, tmp_path):
         pdf = eng.trace_df().toPandas().sort_values("dequeue_seq")
         traces.append(list(pdf.url))
     assert traces[0] == traces[1]
+
+
+def test_nonpositive_interval_rejected(spark):
+    """ADVICE r4: interval<=0 grants 0 tokens forever → run(rounds=None)
+    livelock; both the config and the operator must reject it (None is
+    the documented disable value)."""
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="round_interval_ms"):
+            CrawlConfig(round_interval_ms=bad)
+        with pytest.raises(ValueError, match="round_interval_ms"):
+            crawl_delay_budgets(
+                _robots_df(spark, {"h0": 1000}), 0, bad, 4)

@@ -128,3 +128,31 @@ def test_rescore_rejects_fractional_scores(spark, tmp_path):
         eng.rescore(
             spark.createDataFrame([("h0.x", 2.5)], "host string, score double")
         )
+
+
+def test_rescore_rejects_duplicate_keys(spark, tmp_path):
+    """ADVICE r4: duplicate keys in the scores dim would fan out queue
+    rows through the left join (double-fetched URLs committed as
+    state) — rescore must raise, mirroring the integral-score check."""
+    from text2mc_dataprocessor_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from text2mc_dataprocessor_spark.sources.fixtures import (
+        generate_corpus,
+        pages_to_spark,
+        seeds_to_spark,
+    )
+
+    corpus = generate_corpus(
+        n_hosts=2, listing_pages_per_host=1, links_per_listing=2, seed=9
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "f"), pages_to_spark(spark, corpus),
+        config=CrawlConfig(politeness_budget=4, n_buckets=8),
+    )
+    eng.init(seeds_to_spark(spark, corpus))
+    eng.run(rounds=1)
+    n_before = eng.frontier_df().filter("state = 'queued'").count()
+    with pytest.raises(ValueError, match="duplicate"):
+        eng.rescore(spark.createDataFrame(
+            [("h0.x", 3.0), ("h0.x", 4.0)], "host string, score double"))
+    # queue untouched
+    assert eng.frontier_df().filter("state = 'queued'").count() == n_before

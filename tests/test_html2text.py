@@ -103,3 +103,18 @@ def test_warc_to_wet_pipeline(spark, tmp_path):
     )).orderBy("url").collect()
     assert {r.url: r.text for r in back} == {
         u: f"Doc {i} body & more." for i, (u, _, _) in enumerate(pages)}
+
+
+def test_prefix_sharing_tags_are_not_block_tags(spark):
+    """ADVICE r4: <pre>/<param>/<picture>/<progress>/<link> share a
+    name prefix with block tags (p, pr…) but are NOT in the block set —
+    they must become a space (generic tag delete), not a newline."""
+    out = _convert(
+        spark,
+        "a<pre>x</pre>b<param name=q>c<picture>y</picture>d"
+        "<progress>z</progress>e<link rel=s>f",
+    )
+    assert "\n" not in out
+    assert out == "a x b c y d z e f"
+    # real block tags with attributes / self-closing slash still break
+    assert _convert(spark, 'a<p class="x">b</p>c<br/>d').splitlines()[0] == "a"

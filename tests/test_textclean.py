@@ -117,3 +117,16 @@ def test_badwords_filter_tokens_and_phrases(spark):
     assert out[4].n_badwords == 0 and out[4].badwords_ok
     # passthrough columns intact
     assert out[1].extra == "b"
+
+
+def test_scrub_pii_ip_count_matches_replacements(spark):
+    """ADVICE r4: an IPv4-shaped substring inside a matched email
+    (user@1.2.3.4.example.com) is consumed by the email replace — n_ips
+    must count replacements actually made, not raw-text matches."""
+    from text2mc_dataprocessor_spark.operators.textclean import scrub_pii
+
+    rows = [(0, "a", "mail user@1.2.3.4.example.com plus real 5.6.7.8")]
+    out = scrub_pii(_docs(spark, rows)).toPandas()
+    assert out.text[0] == "mail <EMAIL> plus real <IP>"
+    assert (int(out.n_emails[0]), int(out.n_ips[0])) == (1, 1)
+    assert out.text[0].count("<IP>") == int(out.n_ips[0])

@@ -245,3 +245,22 @@ def test_wet_sink_roundtrip_and_random_access(spark, tmp_path):
     [rec] = _dec(_gzip.decompress(member) if member[:2] == b"\x1f\x8b"
                  else member)
     assert rec["url"] == row.url and rec["warc_type"] == "conversion"
+
+
+def test_warc_records_malformed_record_yields_only_error_row(spark):
+    """ADVICE r4: a blob whose record decodes but fails a per-record
+    step (malformed WARC-Date) must yield ONE error row — never the
+    blob's earlier rows plus an error marker."""
+    good = encode_warc(RECS[:2], gzip_members=False)
+    assert b"2024-" in good
+    bad = good.replace(b"2024-", b"not-a-date-", 1)  # first record's date
+    blobs = spark.createDataFrame(
+        [(0, bytearray(bad)), (1, bytearray(encode_warc(RECS[2:])))],
+        "file_id long, content binary",
+    )
+    out = warc_records(blobs).toPandas()
+    errs = out[out.error.notna()]
+    assert len(errs) == 1
+    # blob 0 contributed NOTHING except its error row: the good record
+    # that preceded the malformed one is absent
+    assert set(out[out.error.isna()].url) == {u for u, _, _ in RECS[2:]}

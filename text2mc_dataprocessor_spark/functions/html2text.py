@@ -43,8 +43,11 @@ HTML2TEXT_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?is)<script[^>]*>.*?</script>", " "),
     (r"(?is)<style[^>]*>.*?</style>", " "),
     (r"(?s)<!--.*?-->", " "),
+    # \b after the name keeps prefix-sharing tags (<pre>, <param>,
+    # <picture>, <link>, …) OUT of the block set — they fall through to
+    # the generic tag-delete step and become a space, not a newline.
     (r"(?i)</?(p|div|br|li|ul|ol|tr|table|h[1-6]|title|header|footer|"
-     r"section|article|blockquote)[^>]*>", "\n"),
+     r"section|article|blockquote)\b[^>]*>", "\n"),
     (r"(?s)<[^>]*>", " "),
     (r"&lt;", "<"),
     (r"&gt;", ">"),

@@ -142,6 +142,13 @@ def crawl_delay_budgets(robots: DataFrame, round_index: int,
     Only hosts with a positive ``crawl_delay_ms`` emit a row — absent
     hosts default to ``politeness_budget`` in the dequeue join. The
     result is a tiny per-round dimension (|hosts| rows, broadcast)."""
+    if round_interval_ms <= 0:
+        # interval 0 grants 0 tokens to every delayed host forever —
+        # combined with the engine's wait-round rule that livelocks
+        # run(rounds=None). None (disabled) is the way to opt out.
+        raise ValueError(
+            "round_interval_ms must be > 0 (use None to disable "
+            "crawl-delay budgeting)")
     r = F.lit(round_index).cast("long")
     i = F.lit(round_interval_ms).cast("long")
     d = F.col("crawl_delay_ms").cast("long")

@@ -75,7 +75,13 @@ def scrub_pii(docs: DataFrame, text_col: str = "text",
             IPV4_RE, ip_token,
         ).alias(text_col),
         F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        # IPs are counted on the EMAIL-SCRUBBED text, so an IPv4-shaped
+        # substring inside a matched email (user@1.2.3.4.example.com)
+        # never inflates n_ips past the replacements actually made —
+        # counts and rewritten text always agree.
+        F.regexp_count(
+            F.regexp_replace(text, EMAIL_RE, email_token), F.lit(IPV4_RE)
+        ).cast("long").alias("n_ips"),
     )
 
 

@@ -143,6 +143,14 @@ class CrawlConfig:
     # concept to preserve.
     round_interval_ms: int | None = None
 
+    def __post_init__(self) -> None:
+        if self.round_interval_ms is not None and self.round_interval_ms <= 0:
+            # 0/negative would grant 0 tokens to every delayed host on
+            # every round — run(rounds=None) then livelocks on wait
+            # rounds. None is the documented "disabled" value.
+            raise ValueError(
+                "round_interval_ms must be > 0 or None (disabled)")
+
 
 _STATE_TABLES = (
     "frontier", "seen", "bloom", "extracted", "rawmap", "sizes", "trace",
@@ -609,6 +617,17 @@ class CrawlEngine:
                 "rescore requires integral-valued scores (dequeue group "
                 "contract) — quantize the signal into classes first, e.g. "
                 "pagerank_score_classes()"
+            )
+        dup = (
+            scores.groupBy(on).count().filter(F.col("count") > 1)
+            .limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"rescore scores have duplicate '{on}' keys — a left join "
+                "would fan out queue rows (double-fetched URLs, inflated "
+                "counts). Pre-aggregate, e.g. "
+                f"scores.groupBy('{on}').agg(F.max('score'))."
             )
         queue = self._state["queue"]
         sc = scores.select(

@@ -2687,7 +2687,10 @@ def gopher_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text,
                  '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b'))
                 AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(
+                 regexp_replace(text,
+                   '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b',
+                   '<EMAIL>', 'g'),
                  '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips
     FROM src
     """,

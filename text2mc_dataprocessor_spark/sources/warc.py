@@ -244,15 +244,25 @@ def warc_records(blobs: DataFrame, bin_col: str = "content",
         for pdf in batches:
             rows = []
             for blob in pdf[bin_col]:
+                # convert the WHOLE blob into a local list before
+                # extending the batch: a record that decodes but fails a
+                # later per-record step (e.g. a malformed WARC-Date)
+                # must not leave the blob's earlier rows alongside the
+                # error row — one blob yields EITHER its rows OR one
+                # error row, never both.
+                blob_rows = []
                 try:
                     for rec in decode_warc(bytes(blob)):
                         if rec["warc_type"] in want:
                             t = pd.Timestamp(rec["ts"]) if rec["ts"] else None
                             if t is not None and t.tzinfo is not None:
                                 t = t.tz_convert(None)  # naive UTC (Z dates)
-                            rows.append((rec["url"], t, rec["payload"], None))
+                            blob_rows.append(
+                                (rec["url"], t, rec["payload"], None))
                 except Exception as e:  # noqa: BLE001 — X4 isolation
                     rows.append((None, None, None, str(e)[:200]))
+                else:
+                    rows.extend(blob_rows)
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "error"])
 
     return blobs.select(bin_col).mapInPandas(run, WARC_SCHEMA)
