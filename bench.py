@@ -612,7 +612,14 @@ def main() -> None:
         "crawl_pruned_stats": pruned.get("prune_stats", []),
     }
     _write_baseline_md(out, low, high)
-    print(json.dumps(out))
+    # The stdout line is the driver contract, but stdout capture has
+    # been observed truncated mid-JSON (BENCH_r04 lost the suite total
+    # and 17 query timings) — the durable record is a file.
+    payload = json.dumps(out)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "result.json"), "w") as f:
+        f.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -222,6 +222,43 @@ def test_keep_representatives(spark):
     assert kept == [1, 10, 99]
 
 
+def test_keep_representatives_never_forces_broadcast(spark):
+    """VERDICT r4 #4: the loser set scales with the corpus (20-50% of
+    docs at web dedup rates) — keep_representatives must NOT carry a
+    broadcast hint. With both broadcast thresholds at -1, ONLY a forced
+    hint could still produce a BroadcastExchange (hints override
+    thresholds), so its absence in the executed plan proves the hint is
+    gone while AQE remains free to broadcast when the set IS small."""
+    from text2mc_dataprocessor_spark.operators.dedup import keep_representatives
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        docs = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"), F.concat(F.lit("doc "), "id").alias("text")
+        )
+        # every even id pairs with its successor -> 1000 losers
+        pairs = spark.range(0, 2000, 2).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        kept = keep_representatives(docs, pairs)
+        rows = kept.collect()
+        assert len(rows) == 1000 and all(r.doc_id % 2 == 0 for r in rows)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dedup_paragraphs_first_occurrence(spark):
     """Global first-by-(doc, position) wins; docs reassemble in original
     paragraph order; fully-duplicated docs drop (or stay empty with

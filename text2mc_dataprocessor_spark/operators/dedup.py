@@ -484,11 +484,16 @@ def keep_representatives(docs: DataFrame, pairs: DataFrame,
                          a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
     """The dedup SELECTION step: drop every duplicate-cluster member
     except the representative (min id — deterministic, join-free to
-    pick). Documents in no pair are untouched. One broadcast-able
-    anti-join against the (small) non-representative set — the corpus
-    side never shuffles."""
+    pick). Documents in no pair are untouched.
+
+    The anti-join deliberately carries NO broadcast hint (VERDICT r4
+    #4): at web-corpus scale near-dup losers are 20-50% of all
+    documents — far beyond broadcast range precisely when dedup
+    matters most. The loser side is a narrow single-column table, so
+    the shuffled anti-join moves only 8-byte ids; AQE still downgrades
+    it to a broadcast at runtime when the loser set IS small."""
     clusters = dup_clusters(pairs, a_col, b_col)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
