@@ -3,6 +3,7 @@ numpy power-iteration parity on a random graph, determinism."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from text2mc_dataprocessor_spark.operators.graph import pagerank
 
@@ -68,6 +69,81 @@ def test_score_classes_integral_and_rank_ordered(spark):
     got = {r.node: r.score for r in pagerank_score_classes(e, n_classes=2).collect()}
     assert all(s == float(int(s)) for s in got.values())
     assert got[0] == 1.0 and set(got.values()) == {0.0, 1.0}
+
+
+def test_score_classes_quantile_parity_and_plan(spark):
+    """VERDICT r4 #5: the URL-level quantizer. On a graph with distinct
+    ranks it matches ntile exactly (up to boundary ties — none here);
+    its scoring plan has NO window and NO Exchange (bounds are driver
+    literals over the checkpointed rank table)."""
+    from text2mc_dataprocessor_spark.operators.graph import (
+        pagerank_score_classes,
+    )
+
+    # path graph: rank strictly increases along the chain -> distinct
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    exact = {
+        r.node: r.score
+        for r in pagerank_score_classes(e, n_classes=4, n_iter=12).collect()
+    }
+    approx_df = pagerank_score_classes(
+        e, n_classes=4, n_iter=12, method="quantile"
+    )
+    approx = {r.node: r.score for r in approx_df.collect()}
+    assert approx == exact
+    assert all(s == float(int(s)) for s in approx.values())
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan, plan
+
+    with pytest.raises(ValueError, match="method"):
+        pagerank_score_classes(e, method="median")
+
+
+def test_rescore_with_quantile_score_classes(spark, tmp_path):
+    """CrawlEngine.rescore consumes the quantile-quantized rank signal
+    end-to-end: host-level pagerank over a synthetic link graph ->
+    integral classes -> rescore accepts them and re-orders the queue."""
+    from text2mc_dataprocessor_spark.operators.graph import (
+        pagerank_score_classes,
+    )
+    from text2mc_dataprocessor_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from text2mc_dataprocessor_spark.sources.fixtures import (
+        generate_corpus,
+        pages_to_spark,
+        seeds_to_spark,
+    )
+
+    corpus = generate_corpus(
+        n_hosts=2, listing_pages_per_host=1, links_per_listing=4, seed=7
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "q"), pages_to_spark(spark, corpus),
+        config=CrawlConfig(politeness_budget=8, global_budget=2, n_buckets=8),
+    )
+    eng.init(seeds_to_spark(spark, corpus))
+    eng.run(rounds=1)
+
+    hosts = sorted(
+        r.host
+        for r in eng._state["queue"].select("host").distinct().collect()
+    )
+    assert len(hosts) == 2
+    # host graph where hosts[-1] is the sink of all mass -> top class
+    edges = spark.createDataFrame(
+        [(hosts[0], hosts[1])] + [(f"ext{i}.x", hosts[1]) for i in range(3)],
+        "src string, dst string",
+    )
+    scores = pagerank_score_classes(
+        edges, n_classes=2, n_iter=5, method="quantile"
+    ).withColumnRenamed("node", "host")
+    info = eng.rescore(scores.filter(F.col("host").isin(hosts)))
+    assert info["rescored"] > 0
+    eng.run(rounds=1)
+    tr = eng.trace_df().toPandas()
+    r2 = tr[tr["round"] == 2]
+    assert len(r2) == 2 and set(r2.host) == {hosts[1]}
 
 
 def test_rescore_reprioritizes_queue(spark, tmp_path):

@@ -63,7 +63,9 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
 
 def pagerank_score_classes(edges: DataFrame, n_classes: int = 4,
                            n_iter: int = 10, damping: float = 0.85,
-                           src: str = "src", dst: str = "dst") -> DataFrame:
+                           src: str = "src", dst: str = "dst",
+                           method: str = "ntile",
+                           accuracy: int = 10000) -> DataFrame:
     """PageRank quantized into ``n_classes`` INTEGRAL score classes —
     the shape ``CrawlEngine.rescore`` consumes: (node, score) with
     score ∈ {0 … n_classes−1} as a double, higher rank → higher class.
@@ -71,13 +73,37 @@ def pagerank_score_classes(edges: DataFrame, n_classes: int = 4,
     The dequeue's order-respecting group id requires integral scores
     (operators/frontier.py ``dequeue_group_expr`` contract), so a
     continuous rank signal enters the frontier as equi-depth classes,
-    not raw floats. Quantization is an ``ntile`` over the NODE table —
-    host-level graphs are |hosts| rows (orders of magnitude below URL
-    count), so the single-partition window is a non-issue; for URL-level
-    graphs quantize against approx rank quantiles instead."""
+    not raw floats. Two quantizers:
+
+    - ``method="ntile"`` (default): exact equi-depth via a global
+      window. Right for HOST-level graphs — |hosts| rows are orders of
+      magnitude below URL count, so the single-partition window is a
+      non-issue, and class sizes are exactly balanced.
+    - ``method="quantile"``: class = number of approx rank-quantile
+      boundaries strictly below the node's rank. Boundaries come from
+      ``DataFrame.approxQuantile`` (Greenwald-Khanna, relative error
+      ``1/accuracy``) — n_classes−1 doubles on the driver, embedded as
+      literals — so the scoring plan has NO window and NO Exchange at
+      all: the URL-level path (VERDICT r4 #5). Matches ntile up to
+      boundary TIES: nodes sharing a boundary rank land in the same
+      class instead of being split to balance group sizes.
+    """
+    if method not in ("ntile", "quantile"):
+        raise ValueError(f"method must be 'ntile' or 'quantile', got {method!r}")
     ranks = pagerank(edges, n_iter=n_iter, damping=damping, src=src, dst=dst)
-    w = Window.orderBy(F.col("rank").asc(), F.col("node").asc())
-    return ranks.select(
-        "node",
-        (F.ntile(n_classes).over(w) - 1).cast("double").alias("score"),
+    if method == "ntile":
+        w = Window.orderBy(F.col("rank").asc(), F.col("node").asc())
+        return ranks.select(
+            "node",
+            (F.ntile(n_classes).over(w) - 1).cast("double").alias("score"),
+        )
+    # ranks is localCheckpointed by pagerank(), so the quantile action
+    # does not recompute the iterations.
+    bounds = ranks.approxQuantile(
+        "rank", [i / n_classes for i in range(1, n_classes)], 1.0 / accuracy
     )
+    score = sum(
+        (F.when(F.col("rank") > F.lit(b), 1).otherwise(0) for b in bounds),
+        start=F.lit(0),
+    )
+    return ranks.select("node", score.cast("double").alias("score"))
