@@ -2946,5 +2946,221 @@ def badwords_page_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_badwords", "badwords_ok")
 
 
+# ---------------------------------------------------------------------------
+# Flagship end-to-end corpus pipeline: crawl → WARC archive → WARC scan
+# → HTML→text → C4 + Gopher cleaning → minhash dedup → paragraph dedup
+# → sequence packing (VERDICT r4 #6 — the stage HANDOFFS are the
+# surface under test; every stage is individually oracle-checked by
+# its own query).
+# ---------------------------------------------------------------------------
+
+#: sentence pools for the deterministic per-page prose planted into the
+#: fixture detail pages. Pool sizes 5/4/5/3 are coprime-ish so no two
+#: of the 16 pages draw the same full sentence set (natural pairwise
+#: Jaccard stays ~0.3-0.45, far under the 0.9 minhash threshold — the
+#: planted identical pair is the ONLY candidate pair).
+_PROSE_A = [
+    "The great hall was built from oak beams and pale stone gathered over many seasons.",
+    "A ring of lanterns marks the outer wall and keeps the courtyard bright at night.",
+    "Terraced gardens climb the southern slope with rows of flowers that bloom in turn.",
+    "The harbor district holds a fleet of small boats tied along a curved wooden pier.",
+    "Deep cellars run beneath the keep and store grain enough to last a hard winter.",
+]
+_PROSE_B = [
+    "Visitors often praise the careful symmetry that guides every arch and stair of the design.",
+    "Builders spent whole evenings testing how the light falls across the painted ceilings.",
+    "Every corridor follows the same measured rhythm of columns spaced three blocks apart.",
+    "The roofline steps down toward the river so that no tower shades its neighbor.",
+]
+_PROSE_C = [
+    "Local legend claims that a dragon once slept beneath the foundations of this site.",
+    "The plans were redrawn twice before the final outline satisfied the whole crew.",
+    "Materials were hauled in by cart along a road cut through the eastern hills.",
+    "Children from the nearby village come to watch whenever a new wing is raised.",
+    "A small museum inside the gatehouse records each stage of the construction.",
+]
+_PROSE_D = [
+    "Future updates will add an observatory with a rotating dome of polished copper.",
+    "The next release should bring improved farms and a windmill on the northern ridge.",
+    "Plans exist for a grand bridge that would span the gorge in a single arc.",
+]
+_PROSE_BOILER = (
+    "Welcome to the community archive of creative builds and the pages "
+    "that describe them."
+)
+#: the planted identical pair (slugs b0-2 / b1-2): byte-identical prose
+#: → est_jaccard 1.0 → keep_representatives keeps the min url.
+_PROSE_IDENT = (
+    "This famous castle was copied to a mirror page so both entries share "
+    "the same description text.",
+    "Eight towers of white quartz stand over a moat fed by a hidden spring.",
+    "The throne room ceiling carries a map of the old kingdom in colored glass.",
+    "Guides recommend entering from the west gate at dawn for the best view.",
+)
+_PROSE_REPEAT = (
+    "The same line repeats on this page again and again without any change at all."
+)
+
+
+def _detail_prose_col(slug: str | None = None):
+    """Prose Column for one detail page, selected by the slug embedded
+    in the url (h = host index, n = page ordinal). Pure JVM so the
+    crawl fixture enrichment costs one projection."""
+    url = F.col("url")
+    slug_c = F.regexp_extract(url, r"/project/(b\d+-\d+)/$", 1)
+    h = F.regexp_extract(slug_c, r"b(\d+)-", 1).cast("int")
+    n = F.regexp_extract(slug_c, r"-(\d+)$", 1).cast("int")
+
+    def pick(pool, idx):
+        return F.element_at(F.array(*[F.lit(s) for s in pool]), idx + 1)
+
+    para = lambda c: F.concat(F.lit("<p>"), c, F.lit("</p>"))  # noqa: E731
+    p2 = F.concat(
+        F.lit("The build called "), slug_c,
+        F.lit(" took "), (n * 2 + h + 3).cast("string"),
+        F.lit(" days of careful work to finish and remains popular with "
+              "the community."),
+    )
+    normal = F.concat(
+        para(F.lit(_PROSE_BOILER)), para(p2),
+        para(pick(_PROSE_A, n % 5)),
+        para(pick(_PROSE_B, (n + h) % 4)),
+        para(pick(_PROSE_C, (n * 2 + 1) % 5)),
+        para(pick(_PROSE_D, (F.floor(n / 2).cast("int") + h) % 3)),
+    )
+    ident = F.concat(
+        para(F.lit(_PROSE_BOILER)),
+        *[para(F.lit(s)) for s in _PROSE_IDENT],
+    )
+    repeat = F.concat(
+        para(F.lit(_PROSE_BOILER)),
+        *[para(F.lit(_PROSE_REPEAT)) for _ in range(8)],
+    )
+    return (
+        F.when(slug_c == "", F.lit(""))  # non-detail pages untouched
+        .when(slug_c.isin("b0-2", "b1-2"), ident)
+        .when(slug_c == "b1-5", repeat)
+        .when(
+            slug_c == "b0-5",
+            F.concat(normal, para(F.lit("Lorem ipsum dolor sit amet."))),
+        )
+        .otherwise(normal)
+    )
+
+
+@_q(
+    "corpus_pipeline",
+    """
+    SELECT url, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(seq_pos AS BIGINT) AS seq_pos
+    FROM (VALUES
+      ('https://h0.planetminecraft.com/project/b0-0/', 6, 88, 0, 0, 0),
+      ('https://h0.planetminecraft.com/project/b0-1/', 4, 60, 88, 0, 88),
+      ('https://h0.planetminecraft.com/project/b0-2/', 4, 58, 148, 1, 20),
+      ('https://h0.planetminecraft.com/project/b0-3/', 5, 75, 206, 1, 78),
+      ('https://h0.planetminecraft.com/project/b0-4/', 4, 60, 281, 2, 25),
+      ('https://h0.planetminecraft.com/project/b0-6/', 2, 31, 341, 2, 85),
+      ('https://h0.planetminecraft.com/project/b0-7/', 3, 46, 372, 2, 116),
+      ('https://h1.planetminecraft.com/project/b1-0/', 1, 18, 418, 3, 34),
+      ('https://h1.planetminecraft.com/project/b1-1/', 1, 18, 436, 3, 52),
+      ('https://h1.planetminecraft.com/project/b1-3/', 1, 18, 454, 3, 70),
+      ('https://h1.planetminecraft.com/project/b1-4/', 1, 18, 472, 3, 88),
+      ('https://h1.planetminecraft.com/project/b1-6/', 1, 18, 490, 3, 106),
+      ('https://h1.planetminecraft.com/project/b1-7/', 1, 18, 508, 3, 124)
+    ) AS t(url, n_kept, n_tokens, tok_start, seq_id, seq_pos)
+    """,
+)
+def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus flow as ONE query: crawl the seeded
+    fixture (detail pages enriched with deterministic prose) → archive
+    every fetched page with ``write_warc_archive`` → re-read the
+    archive bytes with ``warc_records`` → ``html_to_text`` →
+    ``c4_clean`` → ``gopher_clean`` → minhash near-dup removal →
+    CCNet paragraph dedup → ``pack_sequences``. Planted casualties:
+    b0-5 carries "Lorem ipsum" (C4 page rule), b1-5 is one line
+    repeated (Gopher dup_line_frac), b0-2/b1-2 are byte-identical
+    (minhash pair; min-url representative survives), the boilerplate
+    paragraph survives only in its first document (paragraph dedup).
+    Everything is a constant of the seed, so the oracle is the
+    hand-captured VALUES below — any drift in crawl order, archive
+    round-trip bytes, filter thresholds, dedup selection, or the
+    packing cumsum breaks the hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .functions.html2text import html_to_text
+    from .operators.dedup import (
+        dedup_paragraphs,
+        keep_representatives,
+        minhash_lsh_pairs,
+    )
+    from .operators.packing import pack_sequences
+    from .operators.quality import gopher_clean
+    from .operators.textclean import c4_clean
+    from .plans.crawl import CrawlConfig, CrawlEngine
+    from .sources.fixtures import generate_corpus, pages_to_spark, seeds_to_spark
+    from .sources.warc import warc_records, write_warc_archive
+
+    corpus = generate_corpus(
+        n_hosts=2, listing_pages_per_host=2, links_per_listing=4, seed=42
+    )
+    pages = pages_to_spark(spark, corpus)
+    enriched = pages.withColumn(
+        "html",
+        F.encode(
+            F.replace(
+                F.decode("html", "UTF-8"),
+                F.lit("</body></html>"),
+                F.concat(_detail_prose_col(), F.lit("</body></html>")),
+            ),
+            "UTF-8",
+        ),
+    )
+    workdir = tempfile.mkdtemp(prefix="corpus_pipeline_q_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    eng = CrawlEngine(
+        spark, f"{workdir}/crawl", enriched,
+        config=CrawlConfig(politeness_budget=8, n_buckets=8),
+    )
+    eng.init(seeds_to_spark(spark, corpus))
+    eng.run()
+
+    fetched = enriched.join(
+        eng.trace_df().select("url"), "url", "left_semi"
+    ).select("url", "warc_ts", "html")
+    index = write_warc_archive(fetched, f"{workdir}/warc", records_per_file=8)
+    errs = index.filter(F.col("error").isNotNull()).count()
+    assert errs == 0, f"{errs} WARC files failed to write"
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(f"{workdir}/warc")
+    )
+    recs = warc_records(blobs).filter(F.col("error").isNull())
+    docs = html_to_text(recs).select("url", "text")
+
+    cleaned = gopher_clean(c4_clean(docs), id_col="url")
+    pairs = minhash_lsh_pairs(
+        cleaned.select("url", "text"), id_col="url", threshold=0.9
+    )
+    uniq = keep_representatives(cleaned, pairs, id_col="url")
+    paradedup = dedup_paragraphs(uniq, id_col="url")
+    packed = pack_sequences(
+        paradedup.withColumn(
+            "n_tokens", F.size(F.split("text", r"\s+")).cast("long")
+        ),
+        budget=128,
+        order_col="url",
+    )
+    return packed.select(
+        "url", "n_kept", "n_tokens", "tok_start", "seq_id", "seq_pos"
+    )
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)
