@@ -331,6 +331,69 @@ def query_suite(cores: int) -> dict[str, float]:
     return timings
 
 
+def text_bench(cores: int) -> dict:
+    """Text-cleaning stack at REALISTIC document lengths (VERDICT r4
+    #7): the sf-suite's `documents` bodies are tiny, so its sub-second
+    timings say nothing about throughput. This leg generates a
+    WET-shaped corpus (~100k docs × ~2 KB text / ~2.3 KB html,
+    deterministic, JVM-side — sources/fixtures.synth_wet_corpus),
+    writes it to parquet once, then times each operator as a
+    read→op→noop-sink job and reports MB/s over the operator's INPUT
+    bytes. Every op here is pure-JVM except dedup ops' bucketed
+    shuffles — the MB/s numbers are the evidence for the "cleans
+    inside the scan stage" claim."""
+    import shutil
+
+    from text2mc_dataprocessor_spark.functions.html2text import html_to_text
+    from text2mc_dataprocessor_spark.operators.dedup import (
+        dedup_paragraphs,
+        minhash_lsh_pairs,
+    )
+    from text2mc_dataprocessor_spark.operators.quality import gopher_clean
+    from text2mc_dataprocessor_spark.operators.textclean import c4_clean, scrub_pii
+    from text2mc_dataprocessor_spark.session import get_spark
+    from text2mc_dataprocessor_spark.sources.fixtures import synth_wet_corpus
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_TEXT_DOCS", "100000"))
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "64g"
+    spark = get_spark("bench-text", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="bench_text_")
+    try:
+        synth_wet_corpus(spark, n_docs).write.parquet(f"{tmp}/corpus")
+        corpus = spark.read.parquet(f"{tmp}/corpus")
+        sizes = corpus.select(
+            F.sum(F.octet_length("text")).alias("text_b"),
+            F.sum(F.octet_length("html")).alias("html_b"),
+        ).first()
+        text_mb = round(sizes["text_b"] / 1e6, 1)
+        html_mb = round(sizes["html_b"] / 1e6, 1)
+        docs = corpus.select("doc_id", "text")
+
+        ops = {
+            "html_to_text": (corpus.select("doc_id", "html"),
+                             lambda d: html_to_text(d), html_mb),
+            "c4_clean": (docs, lambda d: c4_clean(d), text_mb),
+            "gopher_clean": (docs, lambda d: gopher_clean(d), text_mb),
+            "scrub_pii": (docs, lambda d: scrub_pii(d), text_mb),
+            "dedup_paragraphs": (docs, lambda d: dedup_paragraphs(d), text_mb),
+            "minhash_lsh_pairs": (docs, lambda d: minhash_lsh_pairs(d), text_mb),
+        }
+        res = {"n_docs": n_docs, "text_mb": text_mb, "html_mb": html_mb,
+               "ops": {}}
+        for name, (inp, fn, mb) in ops.items():
+            t0 = time.time()
+            fn(inp).write.format("noop").mode("overwrite").save()
+            wall = round(time.time() - t0, 3)
+            res["ops"][name] = {
+                "wall_sec": wall, "mb_per_sec": round(mb / wall, 1),
+            }
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def _write_baseline_md(out: dict, low: dict, high: dict) -> None:
     ex_lo, ex_hi = low["executors"], high["executors"]
     lines = [
@@ -392,6 +455,28 @@ def _write_baseline_md(out: dict, low: dict, high: dict) -> None:
     for level, res in ((f"{ex_lo} exec", low), (f"{ex_hi} exec", high)):
         for rnd, stage, sec in res["timings"]:
             lines.append(f"| {level} | {rnd} | {stage} | {sec} |")
+    tb = out.get("text_bench")
+    if tb:
+        lines += [
+            "",
+            "## Text-cleaning throughput at realistic document lengths",
+            "",
+            f"The sf-suite's `documents` bodies are tiny; this leg measures the",
+            f"cleaning stack over a WET-shaped corpus of {tb['n_docs']} deterministic",
+            f"documents ({tb['text_mb']} MB text / {tb['html_mb']} MB html,",
+            f"sources/fixtures.synth_wet_corpus), parquet-at-rest, each operator",
+            f"timed read→op→noop on local[{CPUS}]. MB/s is over the operator's",
+            "INPUT bytes. html_to_text / c4 / gopher-quality / pii are pure-JVM",
+            "projections-or-filters (no Exchange — they ride the scan stage);",
+            "gopher repetition adds its fused 3-shuffle n-gram family;",
+            "dedup_paragraphs/minhash shuffle by paragraph/band key.",
+            "",
+            "| operator | wall (s) | MB/s |",
+            "| --- | --- | --- |",
+        ] + [
+            f"| {op} | {st['wall_sec']} | {st['mb_per_sec']} |"
+            for op, st in tb["ops"].items()
+        ]
     lines += [
         "",
         "Query-suite timings are in the JSON line emitted by bench.py",
@@ -582,12 +667,15 @@ def main() -> None:
         for s in pruned.get("prune_stats", []) if s["queue_rows"]
     ]
     timings = query_suite(CPUS)  # query suite uses all cores (JVM-side ops scale fine)
+    text_stats = text_bench(CPUS)
     crawl_key_low = f"crawl_{LOW_EXECUTORS}exec"
     crawl_key_high = f"crawl_{HIGH_EXECUTORS}exec"
     queries = dict(timings)
     queries[crawl_key_low] = low["wall_sec"]
     queries[crawl_key_high] = high["wall_sec"]
     queries[f"crawl_pruned_{HIGH_EXECUTORS}exec"] = pruned["wall_sec"]
+    for op, st in text_stats["ops"].items():
+        queries[f"textcorpus_{op}"] = st["wall_sec"]
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "bench_suite_total",
@@ -610,6 +698,7 @@ def main() -> None:
             sum(prune_ratios) / len(prune_ratios), 4
         ) if prune_ratios else None,
         "crawl_pruned_stats": pruned.get("prune_stats", []),
+        "text_bench": text_stats,
     }
     _write_baseline_md(out, low, high)
     # The stdout line is the driver contract, but stdout capture has

@@ -3162,5 +3162,81 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Politeness bootstrap (plans/bootstrap.py): robots.txt + sitemap.xml
+# fetched through the crawl's fetch surface and parsed into the
+# robots_gate dimension + sitemap-discovered seeds. Deterministic
+# replay corpus → constant-capture oracle.
+# ---------------------------------------------------------------------------
+
+_BOOT_PAGES = [
+    # host a: disallow rules + crawl-delay + a sitemapindex chain
+    ("https://a.example/robots.txt",
+     b"User-agent: *\nDisallow: /private/\nDisallow: /tmp/\nCrawl-delay: 1.5\n"),
+    ("https://a.example/sitemap.xml",
+     b"<sitemapindex><sitemap><loc>https://a.example/sitemap-1.xml</loc>"
+     b"</sitemap></sitemapindex>"),
+    ("https://a.example/sitemap-1.xml",
+     b"<urlset><url><loc>https://a.example/p1</loc></url>"
+     b"<url><loc>https://a.example/p2</loc></url></urlset>"),
+    # host b: allow-all robots (empty Disallow -> NO rules row), flat urlset
+    ("https://b.example/robots.txt", b"User-agent: *\nDisallow:\n"),
+    ("https://b.example/sitemap.xml",
+     b"<urlset><url><loc>https://b.example/only</loc></url></urlset>"),
+    # host c: neither file exists (fetch misses -> allow-all, no seeds)
+]
+
+
+@_q(
+    "politeness_bootstrap",
+    """
+    SELECT kind, host, value,
+           CAST(crawl_delay_ms AS BIGINT) AS crawl_delay_ms
+    FROM (VALUES
+      ('rule', 'a.example', '/private/', 1500),
+      ('rule', 'a.example', '/tmp/',     1500),
+      ('seed', 'a.example', 'https://a.example/p1', NULL),
+      ('seed', 'a.example', 'https://a.example/p2', NULL),
+      ('seed', 'b.example', 'https://b.example/only', NULL)
+    ) AS t(kind, host, value, crawl_delay_ms)
+    """,
+)
+def politeness_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 politeness bootstrap over a deterministic replay corpus
+    (plans/bootstrap.py): host a publishes disallow rules + a
+    crawl-delay + a two-level sitemap chain, host b an allow-all
+    robots.txt (NO rules row — the dimension stays minimal) + a flat
+    urlset, host c nothing (fetch misses → allow-all, no seeds). The
+    output flattens both results into (kind, host, value[,delay]) rows
+    so the constant VALUES oracle pins rule parsing, the empty-rule
+    drop, the sitemapindex recursion, and miss handling at once."""
+    from .functions.urlkeys import host_col
+    from .plans.bootstrap import bootstrap_politeness
+    from .sources.fetch import TableFetcher
+
+    pages = spark.createDataFrame(_BOOT_PAGES, "url string, html binary")
+    seeds = spark.createDataFrame(
+        [("https://a.example/start",), ("https://b.example/start",),
+         ("https://c.example/start",)],
+        "url string",
+    )
+    robots, extra = bootstrap_politeness(
+        seeds, TableFetcher(pages), user_agent="text2mc"
+    )
+    rules = robots.select(
+        F.lit("rule").alias("kind"),
+        "host",
+        F.explode("disallow_prefixes").alias("value"),
+        F.col("crawl_delay_ms"),
+    )
+    seeds_out = extra.select(
+        F.lit("seed").alias("kind"),
+        host_col("url").alias("host"),
+        F.col("url").alias("value"),
+        F.lit(None).cast("long").alias("crawl_delay_ms"),
+    )
+    return rules.unionByName(seeds_out)
+
+
 def register_all() -> tuple[dict, dict]:
     return dict(QUERIES), dict(ORACLE_SQL)

@@ -33,7 +33,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FETCH_OUTPUT_SCHEMA = "url string, html binary, fetch_ms long, error string"
+#: the three columns ``HttpFetcher.fetch`` APPENDS to its input
+#: (all input columns pass through)
+FETCH_APPENDED_SCHEMA = "html binary, fetch_ms long, error string"
 
 
 def host_of(url) -> "F.Column":
@@ -115,10 +117,30 @@ class HttpFetcher:
         self.max_bytes = max_bytes
 
     def fetch(self, dequeued: DataFrame) -> DataFrame:
+        """→ input columns + ``html``/``fetch_ms``/``error``.
+
+        All input columns PASS THROUGH the mapInPandas stage: page
+        bodies are born inside the (already host-salted) fetch tasks
+        with their frontier columns attached, so the engine's
+        ``fetch_fn`` seam needs no post-fetch join — at scale a join
+        there would shuffle the full html payload that salting
+        deliberately kept in place."""
+        from pyspark.sql import types as T
+
         timeout_s = self.timeout_s
         chunk_size = self.chunk_size
         delay_ms = self.crawl_delay_ms
         max_bytes = self.max_bytes
+
+        src = dequeued.drop("html", "fetch_ms", "error")
+        out_schema = T.StructType(
+            list(src.schema.fields)
+            + [
+                T.StructField("html", T.BinaryType()),
+                T.StructField("fetch_ms", T.LongType()),
+                T.StructField("error", T.StringType()),
+            ]
+        )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import urllib.error  # stdlib — no executor-side deps
@@ -127,8 +149,8 @@ class HttpFetcher:
             last_host_hit: dict[str, float] = {}
             for pdf in batches:
                 rows = []
-                for r in pdf.itertuples(index=False):
-                    host = r.url.split("/", 3)[2] if "://" in r.url else r.url
+                for url in pdf["url"]:
+                    host = url.split("/", 3)[2] if "://" in url else url
                     if delay_ms:
                         since = time.time() - last_host_hit.get(host, 0.0)
                         wait = delay_ms / 1000.0 - since
@@ -137,7 +159,7 @@ class HttpFetcher:
                     t0 = time.time()
                     try:
                         try:
-                            resp = urllib.request.urlopen(r.url, timeout=timeout_s)
+                            resp = urllib.request.urlopen(url, timeout=timeout_s)
                         except urllib.error.HTTPError as e:
                             # Reference semantics: the status code is never
                             # checked (selenium_scraper.py:581-600), so a
@@ -156,13 +178,35 @@ class HttpFetcher:
                                 buf.extend(chunk)
                                 if len(buf) > max_bytes:
                                     raise ValueError("max_bytes exceeded")
-                        rows.append((r.url, bytes(buf), int((time.time() - t0) * 1000), None))
+                        rows.append((bytes(buf), int((time.time() - t0) * 1000), None))
                     except Exception as e:  # X4 per-row isolation
-                        rows.append((r.url, None, int((time.time() - t0) * 1000), str(e)[:200]))
+                        rows.append((None, int((time.time() - t0) * 1000), str(e)[:200]))
                     last_host_hit[host] = time.time()
-                yield pd.DataFrame(rows, columns=["url", "html", "fetch_ms", "error"])
+                htmls, mss, errs = (
+                    zip(*rows) if rows else ((), (), ())
+                )
+                yield pdf.assign(
+                    html=pd.Series(htmls, dtype=object),
+                    fetch_ms=pd.Series(mss, dtype="int64"),
+                    error=pd.Series(errs, dtype=object),
+                )
 
-        return dequeued.select("url").mapInPandas(run, FETCH_OUTPUT_SCHEMA)
+        return src.mapInPandas(run, out_schema)
+
+    def as_fetch_fn(self):
+        """``CrawlEngine(fetch_fn=...)`` adapter: same passthrough
+        fetch, with X4 error rows dropped (the engine derives FAILED
+        state from its dequeued-vs-extracted anti-join) and the HTTP
+        diagnostics columns removed to match the replay-join shape."""
+
+        def fn(dequeued: DataFrame) -> DataFrame:
+            return (
+                self.fetch(dequeued)
+                .filter(F.col("error").isNull())
+                .drop("fetch_ms", "error")
+            )
+
+        return fn
 
     def head(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
         """S6 HEAD probe, production form: HTTP HEAD per url inside

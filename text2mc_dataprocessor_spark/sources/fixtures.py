@@ -319,3 +319,130 @@ def pages_to_spark(spark, corpus: Corpus):
 
 def seeds_to_spark(spark, corpus: Corpus):
     return spark.createDataFrame(corpus.seeds, schema="url string, seed_rank int")
+
+
+# ---------------------------------------------------------------------------
+# WET-scale synthetic document corpus (VERDICT r4 #7) — bench input for
+# the text-cleaning stack at REALISTIC document lengths. The sf-suite's
+# `documents` table has tiny synthetic bodies, so its sub-second
+# timings say nothing about MB/s; this generator produces ~KB-sized
+# documents ENTIRELY JVM-side (seeded xxhash64 picks from a sentence
+# pool — no Python, no driver data, deterministic for any n_docs), so
+# generating 100k docs is itself just a codegen stage.
+# ---------------------------------------------------------------------------
+
+_WET_SENTENCES = [
+    "The committee published its annual report on regional water quality late on Tuesday.",
+    "Researchers at the institute have spent three years mapping the coastal wetlands.",
+    "Local volunteers planted more than two thousand trees along the river bank.",
+    "The museum's new wing will open to the public early next spring.",
+    "Prices for basic building materials rose sharply during the second quarter.",
+    "A panel of judges selected twelve finalists from nearly four hundred entries.",
+    "The library extended its evening hours after a survey of frequent visitors.",
+    "Engineers tested the bridge design against a century of flood records.",
+    "Students from three schools collaborated on the robotics exhibition.",
+    "The city council approved funding for two new neighborhood health clinics.",
+    "Farmers in the valley reported an unusually early harvest this year.",
+    "The orchestra will perform a program of twentieth century works in October.",
+    "Archaeologists uncovered pottery fragments dating back over a thousand years.",
+    "The airline added direct routes to four cities across the northern region.",
+    "Wind turbines now supply roughly a fifth of the island's electricity.",
+    "The bakery on Mill Street celebrated fifty years of continuous operation.",
+    "Analysts expect the labor market to cool gradually through the winter.",
+    "A new footpath connects the harbor district with the botanical gardens.",
+    "The festival drew record crowds despite intermittent rain on both days.",
+    "Officials urged residents to conserve water during the prolonged dry spell.",
+    "The startup's sensors track soil moisture across hundreds of small farms.",
+    "Historians disagree about the precise route of the old trading road.",
+    "The clinic vaccinated more than nine hundred children during the campaign.",
+    "Night trains will resume service on the mountain line next month.",
+    "The editor assembled essays from twenty contributors for the anthology.",
+    "Solar panels on the school roof cut its energy bill nearly in half.",
+    "The team mapped every storm drain in the district over one summer.",
+    "Critics praised the film's restrained script and patient cinematography.",
+    "The cooperative sells honey, wool, and cheese at the weekend market.",
+    "New signage along the trail explains the geology of the gorge.",
+    "The observatory opened its telescopes to the public for the eclipse.",
+    "Negotiators reached a draft agreement after a final overnight session.",
+    "The port handled a record volume of container traffic in August.",
+    "Apprentices restore antique clocks in the workshop behind the chapel.",
+    "The survey found that most commuters favor the proposed tram extension.",
+    "Rangers counted wintering cranes at dawn across the frozen marsh.",
+    "The publisher reissued the novel with the author's original ending.",
+    "Volunteers staffed the warming shelter through the coldest week on record.",
+    "The foundry cast the replacement bell using the medieval mold pattern.",
+    "A modest grant kept the village cinema open for another season.",
+]
+
+
+def synth_wet_corpus(spark, n_docs: int, min_paras: int = 4,
+                     max_paras: int = 10, min_sents: int = 2,
+                     max_sents: int = 6, seed: int = 11):
+    """→ (doc_id string, text string, html binary): ``n_docs``
+    deterministic documents of ~1-4 KB. ``text`` is WET-shaped (one
+    paragraph per line — the shape ``c4_clean``/``dedup_paragraphs``
+    consume); ``html`` wraps the same paragraphs in <p> tags with a
+    title/nav chrome (the ``html_to_text`` input shape). Every 20th
+    document carries a planted email + IPv4 so ``scrub_pii`` has
+    non-zero work. Sentence picks are ``xxhash64(seed, id, para,
+    sent)`` indexes into the pool — same rows for any partitioning."""
+    from pyspark.sql import functions as F
+
+    pool = F.array(*[F.lit(s) for s in _WET_SENTENCES])
+    npool = len(_WET_SENTENCES)
+    doc = F.col("id")
+
+    def pick(p, s):
+        return F.element_at(
+            pool,
+            (F.pmod(F.xxhash64(F.lit(seed), doc, p, s), F.lit(npool)) + 1
+             ).cast("int"),
+        )
+
+    def para(p):
+        n_sents = (
+            F.pmod(F.xxhash64(F.lit(seed), doc, p), F.lit(max_sents - min_sents + 1))
+            + min_sents
+        )
+        return F.array_join(
+            F.transform(F.sequence(F.lit(1), n_sents), lambda s: pick(p, s)),
+            " ",
+        )
+
+    n_paras = (
+        F.pmod(F.xxhash64(F.lit(seed), doc), F.lit(max_paras - min_paras + 1))
+        + min_paras
+    )
+    paras = F.transform(F.sequence(F.lit(1), n_paras), para)
+    pii = F.concat(
+        F.lit("Contact curator"), doc.cast("string"),
+        F.lit("@example.com or 192.168.4."),
+        F.pmod(doc, F.lit(250)).cast("string"),
+        F.lit(" for the full archive."),
+    )
+    text = F.when(
+        F.pmod(doc, F.lit(20)) == 0,
+        F.array_join(F.concat(paras, F.array(pii)), "\n"),
+    ).otherwise(F.array_join(paras, "\n"))
+
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Document "), F.col("doc_id"),
+            F.lit("</title></head><body><nav>Home | Archive | About</nav>"),
+            F.aggregate(
+                F.split(F.col("text"), "\n"),
+                F.lit(""),
+                lambda acc, l: F.concat(acc, F.lit("<p>"), l, F.lit("</p>")),
+            ),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    return (
+        spark.range(n_docs)
+        .select(
+            F.format_string("d%08d", doc).alias("doc_id"),
+            text.alias("text"),
+        )
+        .withColumn("html", html)
+    )
