@@ -168,3 +168,47 @@ def test_pure_jvm_plans_have_no_exchange_or_python(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_metrics_arrow_matches_relational(spark):
+    """The zero-shuffle Arrow path must be bit-identical to the
+    relational (keyed-shuffle) mirror on every n-gram metric —
+    including the whitespace edge cases where Java split/trim
+    semantics bite (leading/trailing runs kept as empty tokens, NBSP
+    is NOT whitespace, trim strips spaces only)."""
+    texts = [
+        GOOD,
+        "spam ham spam ham spam ham spam ham spam ham eggs",
+        ("one two three four five six seven " * 4) + "tail",
+        "aaa aaa aaa aaa aaa aaa aaa aaa",           # self-overlap clamp
+        "  leading spaces then\nnewline\tand tab  ",
+        "\nleading newline kept as empty token",
+        "trailing newline token kept\n",
+        "nbsp is not whitespace here at all",
+        "",
+        "   ",
+        "one",
+        "Mixed CASE Words mixed case WORDS mixed case words",
+    ]
+    docs = _docs(spark, texts)
+    ns, rep = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    cols = [f"top_{n}gram_char_frac" for n in ns] + [
+        f"rep_{n}gram_char_frac" for n in rep]
+    a = gopher_repetition(docs, ngram_ns=ns, rep_ngram_ns=rep,
+                          impl="arrow").select("doc_id", *cols).toPandas()
+    r = gopher_repetition(docs, ngram_ns=ns, rep_ngram_ns=rep,
+                          impl="relational").select("doc_id", *cols).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    r = r.sort_values("doc_id").reset_index(drop=True)
+    for c in cols:
+        assert list(a[c]) == list(r[c]), c
+
+
+def test_gopher_repetition_arrow_plan_has_no_exchange(spark):
+    """The point of the Arrow path: the entire repetition family is a
+    projection — no Exchange anywhere in the plan."""
+    docs = _docs(spark, [GOOD] * 4)
+    plan = gopher_repetition(
+        docs, rep_ngram_ns=(5, 6, 7, 8, 9, 10)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -67,8 +67,12 @@ Exact definitions (the DuckDB oracle ``gopher_quality_flags`` /
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -171,6 +175,100 @@ def _dup_fracs(parts: Column, prefix: str) -> list[Column]:
         (F.lit(1.0) - _charlen(distinct) / charsd)
         .alias(f"dup_{prefix}_char_frac"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition metrics — Arrow path (default) and relational path
+# (the parity/oracle mirror).
+#
+# Both top-n-gram mass and repeated-n-gram coverage are PER-DOCUMENT
+# metrics: nothing about them needs data from any other document. The
+# relational forms below (explode (doc, gram) → keyed shuffles) are
+# correct but shuffle ~60× the corpus bytes in gram strings for a
+# computation that is local to each row — measured 0.2 MB/s on a
+# realistic-length corpus vs 30-90 MB/s for the stack's pure-JVM
+# passes. The Arrow path computes EVERY requested n in one vectorized
+# pandas_udf projection (zero Exchange — at 100 TB it rides the scan
+# stage like the rest of the cleaning stack); the relational forms are
+# kept as the independently-derived mirror and parity-tested
+# bit-for-bit in tests/test_quality.py.
+# ---------------------------------------------------------------------------
+
+#: the Java-regex \s class (ASCII-only) — Python's \s would also match
+#: unicode whitespace and diverge from the JVM/DuckDB splits
+_WS_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_words_lower(text: str | None) -> list[str]:
+    """Bit-exact Python mirror of ``F.transform(_words(text), F.lower)``:
+    Spark ``trim`` strips SPACES only; ``split`` (limit −1) keeps
+    leading/trailing empty tokens."""
+    if text is None:
+        return []
+    t = text.strip(" ")
+    if t == "":
+        return []
+    return [w.lower() for w in _WS_SPLIT.split(t)]
+
+
+def _doc_ngram_metrics(words: list[str], ngram_ns: tuple[int, ...],
+                       rep_ns: tuple[int, ...]) -> list[float]:
+    lens = [len(w) for w in words]
+    total = sum(lens)
+    wc = len(words)
+    out: list[float] = []
+    for n in ngram_ns:
+        if total == 0 or wc < n:
+            out.append(0.0)
+            continue
+        counts: dict[tuple[str, ...], int] = {}
+        for i in range(wc - n + 1):
+            g = tuple(words[i:i + n])
+            counts[g] = counts.get(g, 0) + 1
+        # mass = occurrences × gram word-chars; ties share the same
+        # mass, hence the same fraction — no tie-break needed for the
+        # VALUE (the relational form's lexicographic tie-break only
+        # picks which equal-mass row survives)
+        best = max(c * sum(map(len, g)) for g, c in counts.items())
+        out.append(min(1.0, best / total))
+    for n in rep_ns:
+        if total == 0 or wc < n:
+            out.append(0.0)
+            continue
+        pos: dict[tuple[str, ...], list[int]] = {}
+        for i in range(wc - n + 1):
+            pos.setdefault(tuple(words[i:i + n]), []).append(i)
+        covered = bytearray(wc)
+        for starts in pos.values():
+            if len(starts) >= 2:
+                for i in starts:
+                    covered[i:i + n] = b"\x01" * n
+        cov = sum(l for l, c in zip(lens, covered) if c)
+        out.append(cov / total)
+    return out
+
+
+def ngram_metrics_udf(ngram_ns: tuple[int, ...] = (2, 3, 4),
+                      rep_ns: tuple[int, ...] = ()):
+    """Vectorized pandas_udf: text → struct of every
+    ``top_{n}gram_char_frac`` / ``rep_{n}gram_char_frac``. One Arrow
+    crossing per batch, zero shuffle."""
+    fields = [T.StructField(f"top_{n}gram_char_frac", T.DoubleType())
+              for n in ngram_ns]
+    fields += [T.StructField(f"rep_{n}gram_char_frac", T.DoubleType())
+               for n in rep_ns]
+    schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    @F.pandas_udf(schema)
+    def metrics(text: pd.Series) -> pd.DataFrame:
+        rows = [
+            _doc_ngram_metrics(_py_words_lower(t), ngram_ns, rep_ns)
+            for t in text
+        ]
+        return pd.DataFrame(rows, columns=names, dtype="float64")
+
+    return metrics
 
 
 def top_ngram_char_frac(docs: DataFrame, n: int, id_col: str = "doc_id",
@@ -288,25 +386,44 @@ def repeated_ngram_char_fracs(docs: DataFrame,
 def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       ngram_ns: tuple[int, ...] = (2, 3, 4),
-                      rep_ngram_ns: tuple[int, ...] = ()) -> DataFrame:
-    """Append dup line/paragraph fractions (pure-JVM) and the
-    top-n-gram char fractions (one keyed shuffle per n), plus
-    ``gopher_repetition_ok``. ``rep_ngram_ns`` additionally joins the
-    repeated-n-gram coverage fractions (``repeated_ngram_char_fracs``,
-    one fused pipeline for the whole family) and folds their Table A1
-    caps into the verdict."""
+                      rep_ngram_ns: tuple[int, ...] = (),
+                      impl: str = "arrow") -> DataFrame:
+    """Append dup line/paragraph fractions (pure-JVM), the top-n-gram
+    char fractions and (``rep_ngram_ns``) the repeated-n-gram coverage
+    fractions, plus ``gopher_repetition_ok``.
+
+    ``impl='arrow'`` (default): every n-gram metric from ONE vectorized
+    pandas_udf projection — zero Exchange, the whole repetition pass
+    rides the scan stage. ``impl='relational'``: the keyed-shuffle
+    formulation (``top_ngram_char_frac`` join per n + the fused
+    ``repeated_ngram_char_fracs`` pipeline) — the independently-derived
+    mirror the parity tests hold the Arrow path against."""
     text = F.col(text_col)
     lines = _nonempty_trimmed(F.split(text, "\n"))
     paras = _nonempty_trimmed(F.split(text, "\n\n"))
     out = docs.select(
         "*", *_dup_fracs(lines, "line"), *_dup_fracs(paras, "para"))
-    for n in ngram_ns:
-        out = out.join(top_ngram_char_frac(docs, n, id_col, text_col),
-                       id_col, "left")
-    if rep_ngram_ns:
-        out = out.join(
-            repeated_ngram_char_fracs(docs, rep_ngram_ns, id_col, text_col),
-            id_col, "left")
+    if impl == "arrow":
+        m = ngram_metrics_udf(tuple(ngram_ns), tuple(rep_ngram_ns))
+        out = out.withColumn("_ngm", m(text))
+        for n in ngram_ns:
+            out = out.withColumn(f"top_{n}gram_char_frac",
+                                 F.col(f"_ngm.top_{n}gram_char_frac"))
+        for n in rep_ngram_ns:
+            out = out.withColumn(f"rep_{n}gram_char_frac",
+                                 F.col(f"_ngm.rep_{n}gram_char_frac"))
+        out = out.drop("_ngm")
+    elif impl == "relational":
+        for n in ngram_ns:
+            out = out.join(top_ngram_char_frac(docs, n, id_col, text_col),
+                           id_col, "left")
+        if rep_ngram_ns:
+            out = out.join(
+                repeated_ngram_char_fracs(docs, rep_ngram_ns, id_col,
+                                          text_col),
+                id_col, "left")
+    else:
+        raise ValueError(f"impl must be 'arrow' or 'relational': {impl!r}")
     ok = (
         (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= MAX_DUP_LINE_FRAC)
         & (F.coalesce(F.col("dup_para_frac"), F.lit(0.0))

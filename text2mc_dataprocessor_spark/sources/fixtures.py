@@ -321,107 +321,128 @@ def seeds_to_spark(spark, corpus: Corpus):
     return spark.createDataFrame(corpus.seeds, schema="url string, seed_rank int")
 
 
+
+
 # ---------------------------------------------------------------------------
 # WET-scale synthetic document corpus (VERDICT r4 #7) — bench input for
 # the text-cleaning stack at REALISTIC document lengths. The sf-suite's
 # `documents` table has tiny synthetic bodies, so its sub-second
 # timings say nothing about MB/s; this generator produces ~KB-sized
-# documents ENTIRELY JVM-side (seeded xxhash64 picks from a sentence
-# pool — no Python, no driver data, deterministic for any n_docs), so
+# documents ENTIRELY JVM-side (seeded xxhash64 picks from a word pool —
+# no Python, no driver data, deterministic for any partitioning), so
 # generating 100k docs is itself just a codegen stage.
+#
+# Statistical shape (deliberate):
+# - sentences are hash-sampled WORD soup (not a sentence pool): two
+#   unrelated documents share almost no word n-grams, so near-dup
+#   candidate generation (minhash bands, repeated-n-gram tables) sees
+#   realistic selectivity — a shared-sentence pool makes every doc
+#   pair a near-dup candidate and turns any dedup bench quadratic;
+# - ~1% of documents are byte-identical clones of their predecessor
+#   (ids 0≡1, 100≡101, …): a realistic planted dup rate for minhash;
+# - every document opens with the SAME boilerplate line: corpus-level
+#   paragraph dedup has real work, exactly like web boilerplate;
+# - stop words are over-represented in the pool (~25% density) and
+#   every sentence ends with '.', so the Gopher quality gate and the
+#   C4 line rules see typical English-like statistics.
 # ---------------------------------------------------------------------------
 
-_WET_SENTENCES = [
-    "The committee published its annual report on regional water quality late on Tuesday.",
-    "Researchers at the institute have spent three years mapping the coastal wetlands.",
-    "Local volunteers planted more than two thousand trees along the river bank.",
-    "The museum's new wing will open to the public early next spring.",
-    "Prices for basic building materials rose sharply during the second quarter.",
-    "A panel of judges selected twelve finalists from nearly four hundred entries.",
-    "The library extended its evening hours after a survey of frequent visitors.",
-    "Engineers tested the bridge design against a century of flood records.",
-    "Students from three schools collaborated on the robotics exhibition.",
-    "The city council approved funding for two new neighborhood health clinics.",
-    "Farmers in the valley reported an unusually early harvest this year.",
-    "The orchestra will perform a program of twentieth century works in October.",
-    "Archaeologists uncovered pottery fragments dating back over a thousand years.",
-    "The airline added direct routes to four cities across the northern region.",
-    "Wind turbines now supply roughly a fifth of the island's electricity.",
-    "The bakery on Mill Street celebrated fifty years of continuous operation.",
-    "Analysts expect the labor market to cool gradually through the winter.",
-    "A new footpath connects the harbor district with the botanical gardens.",
-    "The festival drew record crowds despite intermittent rain on both days.",
-    "Officials urged residents to conserve water during the prolonged dry spell.",
-    "The startup's sensors track soil moisture across hundreds of small farms.",
-    "Historians disagree about the precise route of the old trading road.",
-    "The clinic vaccinated more than nine hundred children during the campaign.",
-    "Night trains will resume service on the mountain line next month.",
-    "The editor assembled essays from twenty contributors for the anthology.",
-    "Solar panels on the school roof cut its energy bill nearly in half.",
-    "The team mapped every storm drain in the district over one summer.",
-    "Critics praised the film's restrained script and patient cinematography.",
-    "The cooperative sells honey, wool, and cheese at the weekend market.",
-    "New signage along the trail explains the geology of the gorge.",
-    "The observatory opened its telescopes to the public for the eclipse.",
-    "Negotiators reached a draft agreement after a final overnight session.",
-    "The port handled a record volume of container traffic in August.",
-    "Apprentices restore antique clocks in the workshop behind the chapel.",
-    "The survey found that most commuters favor the proposed tram extension.",
-    "Rangers counted wintering cranes at dawn across the frozen marsh.",
-    "The publisher reissued the novel with the author's original ending.",
-    "Volunteers staffed the warming shelter through the coldest week on record.",
-    "The foundry cast the replacement bell using the medieval mold pattern.",
-    "A modest grant kept the village cinema open for another season.",
+_WET_STOPWORDS = ["the", "and", "of", "to", "that", "with", "have", "be",
+                  "in", "on", "for", "as", "was", "its", "at", "by"]
+_WET_CONTENT_WORDS = [
+    "committee", "report", "regional", "water", "quality", "village",
+    "institute", "coastal", "wetlands", "volunteers", "planted", "trees",
+    "river", "museum", "public", "spring", "prices", "building",
+    "materials", "quarter", "panel", "judges", "finalists", "entries",
+    "library", "evening", "hours", "survey", "visitors", "engineers",
+    "bridge", "design", "century", "flood", "records", "students",
+    "schools", "robotics", "exhibition", "council", "funding",
+    "neighborhood", "health", "clinics", "farmers", "valley", "harvest",
+    "orchestra", "program", "october", "archaeologists", "pottery",
+    "fragments", "airline", "routes", "cities", "northern", "region",
+    "wind", "turbines", "island", "electricity", "bakery", "street",
+    "operation", "analysts", "labor", "market", "winter", "footpath",
+    "harbor", "district", "botanical", "gardens", "festival", "crowds",
+    "rain", "officials", "residents", "conserve", "spell", "sensors",
+    "soil", "moisture", "farms", "historians", "route", "trading",
+    "road", "clinic", "children", "campaign", "night", "trains",
+    "service", "mountain", "line", "editor", "essays", "contributors",
+    "anthology", "solar", "panels", "school", "roof", "energy",
+    "storm", "drain", "summer", "critics", "film", "script",
+    "cinematography", "cooperative", "honey", "wool", "cheese",
+    "weekend", "signage", "trail", "geology", "gorge", "observatory",
+    "telescopes", "eclipse", "negotiators", "draft", "agreement",
+    "session", "port", "container", "traffic", "august", "apprentices",
+    "antique", "clocks", "workshop", "chapel", "commuters", "tram",
+    "extension", "rangers", "cranes", "dawn", "frozen", "marsh",
+    "publisher", "novel", "author", "ending", "shelter", "coldest",
+    "week", "foundry", "bell", "medieval", "mold", "pattern", "grant",
+    "cinema", "season", "archive", "stage", "glass", "tower", "copper",
 ]
+#: stopwords repeated so the hash-uniform pick yields ~25% density
+_WET_POOL = _WET_CONTENT_WORDS + _WET_STOPWORDS * 3
+_WET_BOILER = ("Shared archive navigation header repeated on every page "
+               "of this corpus.")
 
 
 def synth_wet_corpus(spark, n_docs: int, min_paras: int = 4,
                      max_paras: int = 10, min_sents: int = 2,
-                     max_sents: int = 6, seed: int = 11):
+                     max_sents: int = 5, min_words: int = 6,
+                     max_words: int = 13, seed: int = 11):
     """→ (doc_id string, text string, html binary): ``n_docs``
     deterministic documents of ~1-4 KB. ``text`` is WET-shaped (one
     paragraph per line — the shape ``c4_clean``/``dedup_paragraphs``
     consume); ``html`` wraps the same paragraphs in <p> tags with a
     title/nav chrome (the ``html_to_text`` input shape). Every 20th
-    document carries a planted email + IPv4 so ``scrub_pii`` has
-    non-zero work. Sentence picks are ``xxhash64(seed, id, para,
-    sent)`` indexes into the pool — same rows for any partitioning."""
+    document carries a planted email + IPv4 (``scrub_pii`` work);
+    every 100th id PAIR is byte-identical (planted near-dup). Word
+    picks are ``xxhash64(seed, cid, para, sent, word)`` indexes into
+    the pool — same rows for any partitioning or doc count."""
     from pyspark.sql import functions as F
 
-    pool = F.array(*[F.lit(s) for s in _WET_SENTENCES])
-    npool = len(_WET_SENTENCES)
-    doc = F.col("id")
+    pool = F.array(*[F.lit(w) for w in _WET_POOL])
+    npool = len(_WET_POOL)
+    # content id: doc 100k+1 clones doc 100k → byte-identical pair
+    cid = F.when(
+        F.pmod(F.col("id"), F.lit(100)) == 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
 
-    def pick(p, s):
-        return F.element_at(
-            pool,
-            (F.pmod(F.xxhash64(F.lit(seed), doc, p, s), F.lit(npool)) + 1
-             ).cast("int"),
+    def h(*cols):
+        return F.xxhash64(F.lit(seed), cid, *cols)
+
+    def rng(col, lo, hi):
+        return F.pmod(col, F.lit(hi - lo + 1)) + lo
+
+    def sentence(p, s):
+        n_words = rng(h(p, s), min_words, max_words)
+        words = F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda w: F.element_at(
+                pool, (F.pmod(h(p, s, w), F.lit(npool)) + 1).cast("int")),
         )
+        return F.concat(F.array_join(words, " "), F.lit("."))
 
     def para(p):
-        n_sents = (
-            F.pmod(F.xxhash64(F.lit(seed), doc, p), F.lit(max_sents - min_sents + 1))
-            + min_sents
-        )
+        n_sents = rng(h(p), min_sents, max_sents)
         return F.array_join(
-            F.transform(F.sequence(F.lit(1), n_sents), lambda s: pick(p, s)),
+            F.transform(F.sequence(F.lit(1), n_sents),
+                        lambda s: sentence(p, s)),
             " ",
         )
 
-    n_paras = (
-        F.pmod(F.xxhash64(F.lit(seed), doc), F.lit(max_paras - min_paras + 1))
-        + min_paras
+    n_paras = rng(h(), min_paras, max_paras)
+    paras = F.concat(
+        F.array(F.lit(_WET_BOILER)),
+        F.transform(F.sequence(F.lit(1), n_paras), para),
     )
-    paras = F.transform(F.sequence(F.lit(1), n_paras), para)
     pii = F.concat(
-        F.lit("Contact curator"), doc.cast("string"),
+        F.lit("Contact curator"), cid.cast("string"),
         F.lit("@example.com or 192.168.4."),
-        F.pmod(doc, F.lit(250)).cast("string"),
+        F.pmod(cid, F.lit(250)).cast("string"),
         F.lit(" for the full archive."),
     )
     text = F.when(
-        F.pmod(doc, F.lit(20)) == 0,
+        F.pmod(cid, F.lit(20)) == 0,
         F.array_join(F.concat(paras, F.array(pii)), "\n"),
     ).otherwise(F.array_join(paras, "\n"))
 
@@ -441,8 +462,10 @@ def synth_wet_corpus(spark, n_docs: int, min_paras: int = 4,
     return (
         spark.range(n_docs)
         .select(
-            F.format_string("d%08d", doc).alias("doc_id"),
+            F.format_string("d%08d", F.col("id")).alias("doc_id"),
             text.alias("text"),
+            F.col("id"),
         )
         .withColumn("html", html)
+        .drop("id")
     )
