@@ -314,6 +314,27 @@ def crawl_bench(executors: int, global_budget: int | None = None) -> dict:
     return res
 
 
+def _warm_python_workers(spark, cores: int) -> None:
+    """Spin up the per-executor Python worker pool and pay the heavy
+    imports ONCE before anything is timed. The round-4 'NBT drift'
+    (mca_inhabited_chunks 1.61→7.48 s at unchanged code) was exactly
+    this: the Python-codec queries cost 1.9-2.2 s on a warm pool vs
+    7.6-11.4 s in a fresh session (scripts/bench_isolated.py, 3 reps
+    each), so their in-suite wall depended on how much Python work the
+    alphabetically-preceding queries happened to do. A deterministic
+    warmup makes the suite comparable round-over-round."""
+    import pandas as _pd  # noqa: F401
+
+    def imports(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, cores * 4, 1, cores).mapInPandas(
+        imports, "id long").write.format("noop").mode("overwrite").save()
+
+
 def query_suite(cores: int) -> dict[str, float]:
     import __spark_entry__ as em
     from text2mc_dataprocessor_spark.session import get_spark
@@ -321,6 +342,7 @@ def query_suite(cores: int) -> dict[str, float]:
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = "64g"
     spark = get_spark("bench-queries", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    _warm_python_workers(spark, cores)
     timings: dict[str, float] = {}
     qs = em.queries()
     for name in sorted(em.oracle_sql()):
@@ -566,6 +588,30 @@ def _write_baseline_md(out: dict, low: dict, high: dict) -> None:
         "  widening loop is now yield-proportional (a prefix missing the",
         "  budget by a few percent widens by that much + 15% slack, not",
         "  ×4), which keeps the scanned fraction near G/|queue|.",
+        "",
+        "Round-5: the r4 NBT-codec 'regressions' diagnosed and closed:",
+        "",
+        "- mca_inhabited_chunks 1.61→7.48 s / schem_roundtrip_cells",
+        "  15.8→23.8 s / world2vec_builds 6.1→11.5 s at UNCHANGED code was",
+        "  Python-worker cold start, not an engine change. Isolated",
+        "  re-measure (scripts/bench_isolated.py, 3 reps each): warm pool",
+        "  mca 1.9/2.2/1.9 s — reproducing r3 — vs FRESH session",
+        "  11.4/7.9/7.6 s (schem 23.4/18.4/23.2 warm vs 39.5/26.4/25.0",
+        "  fresh; world2vec 9.1/8.9/7.9 warm vs 18.7/17.4/18.4 fresh): the",
+        "  Python-codec queries pay worker spawn + numpy/pandas import,",
+        "  so their in-suite wall depended on how much Python work the",
+        "  alphabetically-preceding queries happened to do — r4 added 17",
+        "  queries and shifted that neighborhood. The suite now runs a",
+        "  deterministic Python-worker warmup before the timed loop;",
+        "  remaining spread is the documented ±30% host window.",
+        "- the text-cleaning stack is now measured at realistic document",
+        "  lengths (table above): the round-4 relational repeated-n-gram",
+        "  family read 0.2 MB/s there (60× gram-string shuffle blow-up for",
+        "  a per-document metric) and is replaced by a zero-Exchange",
+        "  vectorized projection, bit-identical to the relational mirror",
+        "  (kept + parity-tested); the WET bench corpus is word-soup with",
+        "  planted 1% clone pairs so near-dup candidate volume is",
+        "  realistic instead of quadratic.",
     ]
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"), "w") as f:
