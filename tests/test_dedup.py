@@ -276,3 +276,34 @@ def test_dedup_paragraphs_first_occurrence(spark):
     kept = {r.doc_id: (r.text, r.n_kept)
             for r in dedup_paragraphs(docs, keep_empty=True).collect()}
     assert kept[3] == ("", 0) and len(kept) == 4
+
+
+def test_embedding_near_dup_threshold(spark):
+    """Cosine near-dup over embeddings: planted near-but-not-identical
+    vectors (cos ~0.98, above the 0.95 threshold) are all recovered
+    through the hyperplane-LSH candidate path, and no natural pair of
+    the random corpus (max cos well under the threshold) leaks in.
+    Deterministic: fixed vector seed + fixed LSH hyperplane seed."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 64)).astype("float32")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    expected = set()
+    for i in range(0, 30, 3):
+        v = base[i] + 0.02 * rng.normal(size=64).astype("float32")
+        v /= np.linalg.norm(v)
+        cos = float(base[i] @ v)
+        assert 0.95 < cos < 1.0
+        rows.append((1000 + i, [float(x) for x in v]))
+        expected.add((i, 1000 + i))
+    # sanity: no natural pair can cross the threshold
+    sims = base @ base.T
+    np.fill_diagonal(sims, -1)
+    assert sims.max() < 0.6
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_near_dup(df, dim=64, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == expected

@@ -1517,6 +1517,35 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=2)
 
 
+@_q(
+    "embedding_near_dup_pairs",
+    """
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, planted-pair oracle (same
+    construction as ``minhash_lsh_pairs``/``simhash_pairs``): each
+    vector of the slice is unioned with an identical copy at
+    vec_id+100000. Identical vectors hash into the same bucket in
+    EVERY hyperplane-LSH band (recall 1.0 on exact dups by
+    construction, no seed luck), and cosine(v, v) rounds to exactly
+    1.0; the 0.95 threshold excludes every natural pair — the slice's
+    max natural cosine is 0.43 at sf0.01 and sf0.1 (measured), so the
+    result is exactly the planted pairs. Threshold recall on
+    near-but-not-identical vectors is covered in tests/test_dedup.py."""
+    from .operators.dedup import embedding_near_dup
+
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    vecs = base.select("vec_id", "embedding").unionByName(
+        base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_near_dup(vecs, dim=64, threshold=0.95)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def _ann_recall_summary(exact: DataFrame, approx: DataFrame,
                         floor: float) -> DataFrame:
     """One-row (n_queries, n_exact, recall_ok) summary: recall of the
