@@ -204,3 +204,27 @@ def test_bootstrap_replay_sitemap_cycle_bounded(spark):
     assert sorted(r.url for r in extra.collect()) == [
         "https://a.example/p1", "https://a.example/p2",
     ]
+
+
+def test_bootstrap_merges_multi_origin_hosts(spark):
+    """One host probed through several origins (http+https) must yield
+    exactly ONE rules row — union of prefixes, max crawl-delay — or the
+    duplicate host key would fan out every queued row of that host
+    through robots_gate's join."""
+    seeds = spark.createDataFrame(
+        [("http://dual.example/x",), ("https://dual.example/y",)],
+        "url string",
+    )
+    fetcher = _replay(spark, [
+        ("http://dual.example/robots.txt",
+         b"User-agent: *\nDisallow: /http-only/\nCrawl-delay: 1\n"),
+        ("https://dual.example/robots.txt",
+         b"User-agent: *\nDisallow: /https-only/\nCrawl-delay: 3\n"),
+    ])
+    robots, _ = bootstrap_politeness(seeds, fetcher)
+    rows = robots.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.host == "dual.example"
+    assert sorted(r.disallow_prefixes) == ["/http-only/", "/https-only/"]
+    assert r.crawl_delay_ms == 3000

@@ -49,9 +49,12 @@ def seed_origins(seeds: DataFrame, url_col: str = "url") -> DataFrame:
     probe URLs stay fetchable); ``host`` is the engine's frontier key
     (``host_col`` — lower-cased, port-stripped), so the rules this
     bootstrap emits join the frontier on exactly the key
-    ``robots_gate`` uses. Two origins sharing a host (same host, two
-    ports) collapse onto one rules row — last parse wins; at web scale
-    that is the standard virtual-host assumption."""
+    ``robots_gate`` uses. Two origins sharing a host (http+https, or
+    same host on two ports) are each probed; ``bootstrap_politeness``
+    merges their parses into ONE rules row per host (union of
+    disallow prefixes, max crawl-delay — the conservative direction),
+    because a duplicate-host rules dimension would fan out every
+    queued row of that host through ``robots_gate``'s join."""
     u = F.col(url_col)
     # try_parse_url: a malformed seed yields NULL (filtered) instead of
     # failing the whole stage under ANSI mode
@@ -119,8 +122,23 @@ def bootstrap_politeness(
         "host",
         F.coalesce(F.decode("html", "UTF-8"), F.lit("")).alias("robots_txt"),
     )
-    robots = parse_robots_txt(bodies, user_agent=user_agent).filter(
-        (F.size("disallow_prefixes") > 0) | F.col("crawl_delay_ms").isNotNull()
+    # one rules row PER HOST: a host probed through several origins
+    # (http+https, ports) merges conservatively — union of prefixes,
+    # max delay. parse_robots_txt is row-per-row; without this groupBy
+    # a duplicate host key would fan out the robots_gate join.
+    robots = (
+        parse_robots_txt(bodies, user_agent=user_agent)
+        .groupBy("host")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("disallow_prefixes")))
+            ).alias("disallow_prefixes"),
+            F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+        )
+        .filter(
+            (F.size("disallow_prefixes") > 0)
+            | F.col("crawl_delay_ms").isNotNull()
+        )
     )
 
     sm_frontier = origins.select(
