@@ -335,6 +335,26 @@ def _warm_python_workers(spark, cores: int) -> None:
         imports, "id long").write.format("noop").mode("overwrite").save()
 
 
+def _reset_session_state(spark) -> None:
+    """Restore the shared suite session to a clean state (UNTIMED,
+    between queries). Composite queries leave state behind: the
+    flagship ``corpus_pipeline`` runs a whole CrawlEngine crawl, and
+    the label-propagation loops (dup_clusters, dbscan) localCheckpoint
+    per round — those cached RDD blocks stay pinned in the block
+    manager until the JVM-side references happen to be GC'd, which
+    bled into LATER queries' walls (first r5 run: every query in the
+    alphabetical window after corpus_pipeline ran 5-20× slow —
+    mca_inhabited_chunks 3.2→20.8 s, mode_returnflag 0.7→16.2 s —
+    while queries before it matched r4). Unpersist everything
+    explicitly so each timing starts from the same session state."""
+    import gc
+
+    gc.collect()  # drop py4j refs so nothing re-pins after unpersist
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    spark.catalog.clearCache()
+
+
 def query_suite(cores: int) -> dict[str, float]:
     import __spark_entry__ as em
     from text2mc_dataprocessor_spark.session import get_spark
@@ -349,6 +369,7 @@ def query_suite(cores: int) -> dict[str, float]:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        _reset_session_state(spark)
     spark.stop()
     return timings
 
