@@ -21,7 +21,10 @@ module is only ever called from Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
+import re
+
+from html import unescape
+from html.parser import HTMLParser, commentclose, tagfind_tolerant
 from urllib.parse import urljoin
 
 _VOID_TAGS = frozenset(
@@ -30,7 +33,7 @@ _VOID_TAGS = frozenset(
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "_texts")
+    __slots__ = ("tag", "attrs", "children", "parent", "_texts", "_all")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
         self.tag = tag
@@ -38,6 +41,10 @@ class Element:
         self.children: list[Element] = []
         self.parent = parent
         self._texts: list[str] = []  # direct text chunks, interleaved order not kept
+        # document-order flat index of every descendant element —
+        # populated on the root by both parsers so whole-document
+        # find_all_* queries skip the tree walk
+        self._all: list[Element] | None = None
 
     # -- selenium-equivalent accessors ------------------------------------
     def classes(self) -> list[str]:
@@ -72,18 +79,36 @@ class Element:
 
     # -- tree queries (document order) -------------------------------------
     def iter(self):
-        yield self
-        for c in self.children:
-            yield from c.iter()
+        # iterative preorder (document order): ~3x the recursive
+        # generator chain on the deep trees real pages produce
+        stack = [self]
+        pop = stack.pop
+        while stack:
+            e = pop()
+            yield e
+            if e.children:
+                stack.extend(reversed(e.children))
+
+    def _scan(self):
+        # the root's flat index includes the root itself first (same as
+        # iter()); subtree queries fall back to the preorder walk
+        if self._all is not None:
+            return self._all
+        return self.iter()
 
     def find_all_by_class(self, token: str) -> list["Element"]:
-        return [e for e in self.iter() if token in e.classes()]
+        out = []
+        for e in self._scan():
+            c = e.attrs.get("class")
+            if c is not None and token in c.split():
+                out.append(e)
+        return out
 
     def find_all_by_tag(self, tag: str) -> list["Element"]:
-        return [e for e in self.iter() if e.tag == tag]
+        return [e for e in self._scan() if e.tag == tag]
 
     def find_by_id(self, eid: str) -> "Element | None":
-        for e in self.iter():
+        for e in self._scan():
             if e.attrs.get("id") == eid:
                 return e
         return None
@@ -94,11 +119,13 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Element("#document", {}, None)
         self.stack = [self.root]
+        self._elements = [self.root]  # document order, for root._all
         self._in_script = False
 
     def handle_starttag(self, tag, attrs):
         el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
         self.stack[-1].children.append(el)
+        self._elements.append(el)
         if tag == "script":
             self._in_script = True
             self.stack.append(el)
@@ -108,6 +135,7 @@ class _TreeBuilder(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
         self.stack[-1].children.append(el)
+        self._elements.append(el)
 
     def handle_endtag(self, tag):
         if tag == "script":
@@ -123,13 +151,201 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1]._texts.append(data)
 
 
-def parse_html(html: str | bytes) -> Element:
-    if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+# ---------------------------------------------------------------------------
+# Fast tokenizer (the extraction hot path)
+# ---------------------------------------------------------------------------
+# A regex tokenizer that builds the IDENTICAL Element tree to the
+# html.parser-based ``_TreeBuilder`` above, ~3x faster (the stdlib
+# parser spends most of its time in goahead() dispatch, updatepos()
+# bookkeeping and per-callback method layers). Equivalence contract:
+# every construct the fast path consumes is handled exactly as CPython
+# 3.11 html/parser.py handles it (same tolerant regex languages, same
+# recovery on unterminated constructs, same charref conversion); any
+# construct outside the fast set — marked sections ``<![``, start tags
+# the strict tag regex rejects — aborts the fast parse and the WHOLE
+# document is re-parsed with the stdlib builder, so exotic inputs get
+# stdlib behavior by construction. tests/test_htmlparse.py runs a
+# differential suite (fixture corpus + adversarial + hypothesis random
+# markup) asserting tree equality between both parsers.
+
+# start tag: strict subset of tagfind_tolerant/attrfind_tolerant —
+# whitespace-separated attrs, quoted / bare / empty values. Anything
+# this rejects (e.g. '/'-separated attrs, names starting with '=',
+# stray quotes) falls back to the stdlib parser wholesale.
+_FAST_START = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:\s+[^\s/>=]+"
+    r"(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|[^>\s'\"][^>\s]*|(?=[\s>])))?"
+    r")*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR = re.compile(
+    r"([^\s/>=]+)(?:\s*=+\s*(\"[^\"]*\"|'[^']*'|[^>\s'\"][^>\s]*|))?"
+)
+# end tag: html.parser's endtagfind, verbatim
+_FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# CDATA close: html.parser's set_cdata_mode interesting regex, verbatim
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+
+def _pop_to(stack: list[Element], tag: str) -> None:
+    """Pop to the matching open tag if present (tolerant of misnesting)
+    — same loop as _TreeBuilder.handle_endtag."""
+    if stack[-1].tag == tag:  # well-nested fast path
+        stack.pop()
+        return
+    for i in range(len(stack) - 2, 0, -1):
+        if stack[i].tag == tag:
+            del stack[i:]
+            break
+
+
+def _parse_fast(html: str) -> Element | None:
+    """One-pass tokenizer. Returns the tree, or None → caller must
+    re-parse with the stdlib builder."""
+    root = Element("#document", {}, None)
+    stack = [root]
+    all_els = [root]
+    find = html.find
+    i, n = 0, len(html)
+
+    def _data(chunk: str) -> None:
+        # goahead() convert_charrefs path: handle_data(unescape(chunk))
+        stack[-1]._texts.append(unescape(chunk) if "&" in chunk else chunk)
+
+    def _recover(at: int) -> int:
+        # goahead()'s k<0 recovery at end-of-input: emit up to (and
+        # including) the next '>', else up to the next '<', else one char
+        k = find(">", at + 1)
+        if k < 0:
+            k = find("<", at + 1)
+            if k < 0:
+                k = at + 1
+        else:
+            k += 1
+        _data(html[at:k])
+        return k
+
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            if i < n:
+                _data(html[i:])
+            break
+        if lt > i:
+            _data(html[i:lt])
+        c = html[lt + 1 : lt + 2]
+        if c in _ASCII_LETTERS:  # starttagopen
+            m = _FAST_START.match(html, lt)
+            if m is None:
+                # exotic or truncated start tag -> stdlib semantics
+                return None
+            tag, blob, selfclose = m.group(1, 2, 3)
+            tag = tag.lower()
+            if blob:
+                attrs: dict[str, str] = {}
+                for am in _FAST_ATTR.finditer(blob):
+                    v = am.group(2)
+                    if v is None or not v:
+                        v = ""
+                    elif v[0] in "\"'":
+                        v = v[1:-1]
+                    if v and "&" in v:
+                        v = unescape(v)
+                    attrs[am.group(1).lower()] = v
+            else:
+                attrs = {}
+            el = Element(tag, attrs, stack[-1])
+            stack[-1].children.append(el)
+            all_els.append(el)
+            i = m.end()
+            if selfclose:  # '/>' -> handle_startendtag: leaf, no CDATA mode
+                continue
+            if tag in _CDATA_CLOSE:
+                # set_cdata_mode: raw data (no charref conversion) up to
+                # the matching end tag; unterminated -> content dropped
+                stack.append(el)
+                em = _CDATA_CLOSE[tag].search(html, i)
+                if em is None:
+                    break
+                if em.start() > i:
+                    el._texts.append(html[i : em.start()])
+                _pop_to(stack, tag)
+                i = em.end()
+            elif tag not in _VOID_TAGS:
+                stack.append(el)
+        elif c == "/":
+            gt = find(">", lt + 1)
+            if gt < 0:  # parse_endtag -> -1 -> recovery
+                i = _recover(lt)
+                continue
+            m = _FAST_END.match(html, lt)
+            if m is not None:
+                _pop_to(stack, m.group(1).lower())
+                i = m.end()
+                continue
+            if html[lt : lt + 3] == "</>":
+                i = lt + 3
+                continue
+            nm = tagfind_tolerant.match(html, lt + 2)
+            if nm is not None:
+                # '</tag junk>' -> handle_endtag(tag), skip to '>'
+                _pop_to(stack, nm.group(1).lower())
+                i = find(">", nm.end()) + 1
+            else:
+                # parse_bogus_comment: skip to '>', no event
+                i = gt + 1
+        elif c == "!":
+            if html[lt : lt + 4] == "<!--":
+                em = commentclose.search(html, lt + 4)
+                if em is None:
+                    i = _recover(lt)
+                else:
+                    i = em.end()
+            elif html[lt : lt + 3] == "<![":
+                return None  # marked section -> stdlib semantics
+            elif html[lt : lt + 9].lower() == "<!doctype":
+                gt = find(">", lt + 9)
+                i = _recover(lt) if gt < 0 else gt + 1
+            else:
+                gt = find(">", lt + 2)  # parse_bogus_comment
+                i = _recover(lt) if gt < 0 else gt + 1
+        elif c == "?":
+            gt = find(">", lt + 2)  # parse_pi
+            i = _recover(lt) if gt < 0 else gt + 1
+        elif c:
+            # stray '<': its own data chunk, advance one
+            _data("<")
+            i = lt + 1
+        else:
+            # lone '<' as the last char: flushed as data on close()
+            _data("<")
+            break
+    root._all = all_els
+    return root
+
+
+def _parse_html_stdlib(html: str) -> Element:
     b = _TreeBuilder()
     b.feed(html)
     b.close()
+    b.root._all = b._elements
     return b.root
+
+
+def parse_html(html: str | bytes) -> Element:
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    root = _parse_fast(html)
+    if root is None:
+        root = _parse_html_stdlib(html)
+    return root
 
 
 def resolve_href(page_url: str, href: str | None) -> str:
