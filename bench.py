@@ -639,6 +639,74 @@ def _write_baseline_md(out: dict, low: dict, high: dict) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+#: hard budget for the driver-contract stdout line. The driver records
+#: (and parses) only the last 2000 chars of stdout; 1900 leaves margin
+#: for the trailing newline and any straggler log byte.
+STDOUT_LINE_BUDGET = int(os.environ.get("SPARK_GRAFT_STDOUT_BUDGET", "1900"))
+
+
+def _fit_stdout_line(out: dict) -> str:
+    """Build the one-line driver-contract JSON, guaranteed to fit
+    :data:`STDOUT_LINE_BUDGET`.
+
+    Contract fields (metric/value/unit/sf/queries) plus the north-rule
+    headline (urls/sec at both executor counts, best + median scaling
+    efficiency) are always present. Per-query timings are rounded
+    adaptively (2 dp under 10 s, 1 dp under 100 s, whole seconds
+    above); if the line still exceeds the budget, entries are dropped
+    cheapest-first — diagnostic ``textcorpus_*`` legs before oracle
+    queries, and the crawl legs never — with an explicit
+    ``queries_omitted`` count so truncation is visible, never silent.
+    Full-precision everything is in BENCH/result.json.
+    """
+    def rnd(v: float) -> float | int:
+        if v >= 100:
+            return int(round(v))
+        if v >= 10:
+            return round(v, 1)
+        return round(v, 2)
+
+    base = {
+        "metric": out["metric"],
+        "value": rnd(out["value"]),
+        "unit": out["unit"],
+        "sf": out["sf"],
+    }
+    for k in sorted(k for k in out if k.startswith("urls_per_sec_")):
+        base[k] = int(round(out[k]))
+    base["scaling_efficiency"] = out["scaling_efficiency"]
+    base["scaling_efficiency_median"] = out["scaling_efficiency_median"]
+    base["full"] = "BENCH/result.json"
+    queries = {k: rnd(v) for k, v in out["queries"].items()}
+
+    def dumps(omitted: int) -> str:
+        d = dict(base)
+        d["queries"] = queries
+        if omitted:
+            d["queries_omitted"] = omitted
+        return json.dumps(d, separators=(",", ":"))
+
+    # drop order: textcorpus diagnostics first, then oracle queries by
+    # ascending cost; crawl_* legs (the headline walls) sort last and
+    # in practice are never reached
+    order = sorted(
+        queries,
+        key=lambda k: (
+            0 if k.startswith("textcorpus_")
+            else 2 if k.startswith("crawl_") else 1,
+            queries[k], k,
+        ),
+    )
+    line, omitted = dumps(0), 0
+    for victim in order:
+        if len(line) <= STDOUT_LINE_BUDGET:
+            break
+        del queries[victim]
+        omitted += 1
+        line = dumps(omitted)
+    return line
+
+
 def crawl_bench_subprocess(executors: int, global_budget: int | None = None) -> dict:
     """Each level gets a pristine JVM — ``spark.stop()`` keeps the py4j
     JVM alive in-process, and a second session inherits its heap junk
@@ -768,14 +836,18 @@ def main() -> None:
         "text_bench": text_stats,
     }
     _write_baseline_md(out, low, high)
-    # The stdout line is the driver contract, but stdout capture has
-    # been observed truncated mid-JSON (BENCH_r04 lost the suite total
-    # and 17 query timings) — the durable record is a file.
-    payload = json.dumps(out)
+    # Durable full-fidelity record: BENCH/result.json. The stdout line
+    # is the driver contract, but the driver's stdout capture keeps
+    # only the LAST 2000 CHARS and parses the record out of that tail —
+    # BENCH_r04's full-fidelity line was ~4 KB, the tail began
+    # mid-JSON, and the official record came back parsed:null (rounds
+    # 1-3 parsed precisely because their lines were 1034/1638/1921
+    # chars). So the stdout line is budget-fitted below 2000 chars and
+    # everything it can't carry lives in result.json.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH", "result.json"), "w") as f:
-        f.write(payload + "\n")
-    print(payload)
+        f.write(json.dumps(out) + "\n")
+    print(_fit_stdout_line(out))
 
 
 if __name__ == "__main__":
