@@ -50,6 +50,7 @@ EXTRA_BODY = b"<html><body><p>standalone page, linked only from the sitemap</p><
 
 class _SiteHandler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (http.server API)
+        self.server.hits.append(self.path)
         body = self.server.site.get(self.path)
         if callable(body):
             body = body(f"http://127.0.0.1:{self.server.server_address[1]}")
@@ -68,7 +69,7 @@ class _SiteHandler(BaseHTTPRequestHandler):
 
 
 @pytest.fixture(scope="module")
-def site():
+def site_server():
     """One-host fixture corpus served over loopback HTTP: the
     generate_corpus pages re-rooted onto 127.0.0.1 (all intra-host
     links are relative, so the HTML needs no rewriting), plus
@@ -87,10 +88,16 @@ def site():
 
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
     srv.site = paths
+    srv.hits = []
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv
     srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def site(site_server):
+    return f"http://127.0.0.1:{site_server.server_address[1]}"
 
 
 def test_bootstrap_fetches_and_parses_live_rules(spark, site):
@@ -228,3 +235,47 @@ def test_bootstrap_merges_multi_origin_hosts(spark):
     assert r.host == "dual.example"
     assert sorted(r.disallow_prefixes) == ["/http-only/", "/https-only/"]
     assert r.crawl_delay_ms == 3000
+
+
+def test_bootstrap_non_utf8_bodies_isolated(spark):
+    """One host serving non-UTF-8 robots/sitemap bytes must not abort
+    the bootstrap (r5 review: F.decode throws MALFORMED_CHARACTER_CODING
+    under this repo's ANSI default). The garbage host degrades to
+    allow-all / no seeds; every other host's rules survive."""
+    seeds = spark.createDataFrame(
+        [("https://good.example/x",), ("https://bin.example/y",)],
+        "url string",
+    )
+    fetcher = _replay(spark, [
+        ("https://good.example/robots.txt",
+         b"User-agent: *\nDisallow: /private/\n"),
+        ("https://bin.example/robots.txt", b"\xff\xfe\x00\x01GIF89a\xda"),
+        ("https://bin.example/sitemap.xml", b"\xff\xfe<not xml\xda"),
+    ])
+    robots, extra = bootstrap_politeness(seeds, fetcher)
+    rows = robots.collect()
+    assert [r.host for r in rows] == ["good.example"]
+    assert list(rows[0].disallow_prefixes) == ["/private/"]
+    assert extra.count() == 0
+
+
+def test_bootstrap_fetches_each_origin_once(spark, site, site_server):
+    """The returned frames are materialized at bootstrap time: acting
+    on them repeatedly (as robots_gate does every crawl round) must
+    issue ZERO further HTTP requests (r5 review: unpersisted lazy
+    frames re-ran the live GETs on every action — ~3x per sitemap
+    level plus one robots sweep per round)."""
+    seeds = spark.createDataFrame([(f"{site}/projects/?p=0",)], "url string")
+    start = len(site_server.hits)  # earlier tests share the module server
+    robots, extra = bootstrap_politeness(seeds, HttpFetcher(timeout_s=10.0))
+    baseline = len(site_server.hits)
+    for _ in range(2):  # repeated consumption, e.g. one join per round
+        robots.collect()
+        extra.collect()
+    assert len(site_server.hits) == baseline
+    # and the bootstrap itself probed each endpoint exactly once
+    from collections import Counter
+    probes = Counter(
+        p for p in site_server.hits[start:baseline]
+        if p in ("/robots.txt", "/sitemap.xml", "/sitemap-pages.xml"))
+    assert set(probes.values()) == {1}

@@ -67,6 +67,20 @@ def test_zero_and_absent_delays_emit_no_rows(spark):
     assert {r.host for r in out} == {"b"}
 
 
+def test_interval_none_disables_and_nonpositive_raises(spark):
+    """None (the documented opt-out, and what the error message
+    recommends) must yield an empty budgets dimension — every host
+    default-budget — not a TypeError; interval <= 0 raises (it would
+    grant 0 tokens forever and livelock run(rounds=None))."""
+    robots = _robots_df(spark, {"a": 500})
+    disabled = crawl_delay_budgets(robots, 0, None, 3)
+    assert disabled.columns == ["host", "host_budget"]
+    assert disabled.count() == 0
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="round_interval_ms"):
+            crawl_delay_budgets(robots, 0, bad, 3)
+
+
 # --------------------------------------------------------------- dequeue
 
 

@@ -189,6 +189,11 @@ def test_ngram_metrics_arrow_matches_relational(spark):
         "   ",
         "one",
         "Mixed CASE Words mixed case WORDS mixed case words",
+        # r5 review: tabs-only text splits (Java trim strips spaces
+        # only) into >= n EMPTY tokens → 0 total chars; the relational
+        # 0/0 threw DIVIDE_BY_ZERO under ANSI while Arrow returned 0.0
+        "\t\t",
+        "\t\n\t \n",
     ]
     docs = _docs(spark, texts)
     ns, rep = (2, 3, 4), (5, 6, 7, 8, 9, 10)

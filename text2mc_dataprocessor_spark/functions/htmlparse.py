@@ -169,18 +169,32 @@ class _TreeBuilder(HTMLParser):
 # markup) asserting tree equality between both parsers.
 
 # start tag: strict subset of tagfind_tolerant/attrfind_tolerant —
-# whitespace-separated attrs, quoted / bare / empty values. Anything
-# this rejects (e.g. '/'-separated attrs, names starting with '=',
-# stray quotes) falls back to the stdlib parser wholesale.
+# whitespace-separated attrs with conservative names
+# ([a-zA-Z_:] then word/-/./: chars), a single '=', quoted / bare /
+# empty values (bare values may not START with '='). Anything this
+# rejects — '/'-separated attrs, punctuation-only or quote names,
+# 'a==b' multi-equals, '= <quoted>' where the quote could be read as
+# a name — falls back to the stdlib parser wholesale. The name/value
+# restrictions are what make the subset SAFE: whenever the strict
+# grammar stops early, the next char is one no continuation
+# (`\s+name`, `\s*=`, `\s*/?>`) can start with, so the whole match
+# fails and the document takes the stdlib path instead of silently
+# segmenting a tag differently than html.parser would (fuzz-found
+# r5: "<p != '>'" and "<p f=='>" built trees the stdlib refuses).
 _FAST_START = re.compile(
     r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
-    r"((?:\s+[^\s/>=]+"
-    r"(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|[^>\s'\"][^>\s]*|(?=[\s>])))?"
+    r"((?:\s+[a-zA-Z_:][-.\w:]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^>\s'\"=][^>\s]*|(?=[\s>])))?"
     r")*)"
     r"\s*(/?)>"
 )
+# the SAME attr grammar, anchored, for stepping over the captured
+# blob (end-of-blob stands in for the `\s*/?>` boundary). Stepping
+# with .match + a full-consumption check — not a laxer finditer —
+# guarantees the blob segmentation is the one _FAST_START validated.
 _FAST_ATTR = re.compile(
-    r"([^\s/>=]+)(?:\s*=+\s*(\"[^\"]*\"|'[^']*'|[^>\s'\"][^>\s]*|))?"
+    r"\s+([a-zA-Z_:][-.\w:]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^>\s'\"=][^>\s]*|(?=\s|\Z)))?"
 )
 # end tag: html.parser's endtagfind, verbatim
 _FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
@@ -250,7 +264,13 @@ def _parse_fast(html: str) -> Element | None:
             tag = tag.lower()
             if blob:
                 attrs: dict[str, str] = {}
-                for am in _FAST_ATTR.finditer(blob):
+                pos, blen = 0, len(blob)
+                while pos < blen:
+                    am = _FAST_ATTR.match(blob, pos)
+                    if am is None or am.end() == pos:
+                        # blob segmentation disagrees with the tag
+                        # match (should be unreachable) -> stdlib
+                        return None
                     v = am.group(2)
                     if v is None or not v:
                         v = ""
@@ -259,6 +279,7 @@ def _parse_fast(html: str) -> Element | None:
                     if v and "&" in v:
                         v = unescape(v)
                     attrs[am.group(1).lower()] = v
+                    pos = am.end()
             else:
                 attrs = {}
             el = Element(tag, attrs, stack[-1])

@@ -119,7 +119,7 @@ def parse_robots_txt(df: DataFrame, text_col: str = "robots_txt",
 
 
 def crawl_delay_budgets(robots: DataFrame, round_index: int,
-                        round_interval_ms: int,
+                        round_interval_ms: int | None,
                         politeness_budget: int) -> DataFrame:
     """Robots ``Crawl-delay`` → this round's per-host dequeue budgets
     ``(host, host_budget)`` for ``dequeue(host_budgets=…)``.
@@ -142,6 +142,12 @@ def crawl_delay_budgets(robots: DataFrame, round_index: int,
     Only hosts with a positive ``crawl_delay_ms`` emit a row — absent
     hosts default to ``politeness_budget`` in the dequeue join. The
     result is a tiny per-round dimension (|hosts| rows, broadcast)."""
+    if round_interval_ms is None:
+        # disabled (the CrawlConfig default): an empty dimension —
+        # every host falls back to the default politeness_budget in
+        # the dequeue join, same as not publishing a Crawl-delay.
+        return robots.limit(0).select(
+            "host", F.lit(politeness_budget).cast("int").alias("host_budget"))
     if round_interval_ms <= 0:
         # interval 0 grants 0 tokens to every delayed host forever —
         # combined with the engine's wait-round rule that livelocks

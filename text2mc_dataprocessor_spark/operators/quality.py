@@ -300,11 +300,18 @@ def top_ngram_char_frac(docs: DataFrame, n: int, id_col: str = "doc_id",
     col = f"top_{n}gram_char_frac"
     top = per_gram.groupBy(id_col).agg(
         F.min_by(
-            F.least(
-                F.lit(1.0),
-                (F.col("_cnt") * F.col("_gram_chars")).cast("double")
-                / F.col("_total_chars"),
-            ),
+            # _total_chars = 0 (every "word" empty: tabs/newline-only
+            # text still splits into >= n empty strings) must yield
+            # 0.0 like the Arrow path — the bare 0/0 division throws
+            # DIVIDE_BY_ZERO under this repo's ANSI default.
+            F.when(
+                F.col("_total_chars") > 0,
+                F.least(
+                    F.lit(1.0),
+                    (F.col("_cnt") * F.col("_gram_chars")).cast("double")
+                    / F.col("_total_chars"),
+                ),
+            ).otherwise(F.lit(0.0)),
             # deterministic argmax: min of (−mass, gram) = largest mass,
             # lexicographically smallest gram on ties
             F.struct((-F.col("_cnt") * F.col("_gram_chars")).alias("m"),

@@ -116,12 +116,25 @@ def bootstrap_politeness(
     robots_probe = origins.select(
         "host", F.concat("origin", F.lit("/robots.txt")).alias("url")
     )
+    # make_valid_utf8(cast(...)), not decode(): under this repo's ANSI
+    # default decode() throws MALFORMED_CHARACTER_CODING on one
+    # non-UTF-8 body and aborts the whole bootstrap; the cast keeps the
+    # raw bytes (which would then fail Arrow wrapping on the
+    # JVM→Python hop into parse_robots_txt) and make_valid_utf8
+    # substitutes U+FFFD so a garbage robots.txt parses to zero rules
+    # (allow-all, RFC 9309 §2.3.1) while every other host is
+    # unaffected. localCheckpoint materializes the live GETs ONCE —
+    # the returned frames are lazy, and without it every downstream
+    # action (robots_gate each round, each sitemap level's isEmpty)
+    # would re-fetch every origin.
     bodies = robots_probe.join(
         _fetched_ok(fetcher.fetch(robots_probe)), "url", "left"
     ).select(
         "host",
-        F.coalesce(F.decode("html", "UTF-8"), F.lit("")).alias("robots_txt"),
-    )
+        F.coalesce(
+            F.make_valid_utf8(F.col("html").cast("string")), F.lit("")
+        ).alias("robots_txt"),
+    ).localCheckpoint(eager=True)
     # one rules row PER HOST: a host probed through several origins
     # (http+https, ports) merges conservatively — union of prefixes,
     # max delay. parse_robots_txt is row-per-row; without this groupBy
@@ -139,6 +152,10 @@ def bootstrap_politeness(
             (F.size("disallow_prefixes") > 0)
             | F.col("crawl_delay_ms").isNotNull()
         )
+        # robots_gate + crawl_delay_budgets re-read this dimension
+        # every round; sever it once so they replay |hosts| rows, not
+        # the parse (bodies above already pin the fetch).
+        .localCheckpoint(eager=True)
     )
 
     sm_frontier = origins.select(
@@ -149,9 +166,16 @@ def bootstrap_politeness(
     for _ in range(max_sitemap_depth):
         if sm_frontier.isEmpty():
             break
+        # same cast-not-decode and one-GET-per-level materialization
+        # as the robots bodies above: entries feeds BOTH page_seeds
+        # and the next-level frontier, and the next iteration's
+        # isEmpty() would otherwise replay every earlier level's GETs.
         xml = sm_frontier.join(
             _fetched_ok(fetcher.fetch(sm_frontier)), "url", "inner"
-        ).select("host", F.decode("html", "UTF-8").alias("xml"))
+        ).select(
+            "host",
+            F.make_valid_utf8(F.col("html").cast("string")).alias("xml"),
+        ).localCheckpoint(eager=True)
         entries = sitemap_entries(xml, keep_cols=("host",))
         urls = entries.filter(F.col("kind") == "url").select(
             F.col("loc").alias("url")

@@ -609,20 +609,31 @@ class CrawlEngine:
         ``{"rescored": <matched row count>}``."""
         if self._state is None:
             self._load_state()
-        bad = scores.filter(
-            F.col("score") != F.floor("score").cast("double")
-        ).limit(1).count()
-        if bad:
-            raise ValueError(
-                "rescore requires integral-valued scores (dequeue group "
-                "contract) — quantize the signal into classes first, e.g. "
-                "pagerank_score_classes()"
+        # ONE validation job for both contract checks (integral scores,
+        # unique keys) — URL-level scores are |queue|-sized, so two
+        # separate full-scan actions here roughly doubled rescore
+        # latency (r5 review). One groupBy on the join key carries both
+        # predicates.
+        bad = (
+            scores.groupBy(on)
+            .agg(
+                F.count("*").alias("_n"),
+                F.max(
+                    (F.col("score") != F.floor("score").cast("double"))
+                    .cast("int")
+                ).alias("_frac"),
             )
-        dup = (
-            scores.groupBy(on).count().filter(F.col("count") > 1)
-            .limit(1).count()
+            .filter((F.col("_n") > 1) | (F.col("_frac") == 1))
+            .limit(1)
+            .collect()
         )
-        if dup:
+        if bad:
+            if bad[0]["_frac"]:
+                raise ValueError(
+                    "rescore requires integral-valued scores (dequeue group "
+                    "contract) — quantize the signal into classes first, "
+                    "e.g. pagerank_score_classes()"
+                )
             raise ValueError(
                 f"rescore scores have duplicate '{on}' keys — a left join "
                 "would fan out queue rows (double-fetched URLs, inflated "
