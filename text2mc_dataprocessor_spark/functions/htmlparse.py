@@ -31,9 +31,13 @@ _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 
+# class-attr string → split token tuple (class strings repeat across
+# elements and pages; splitting each once per process is enough)
+_CLASS_SPLIT_MEMO: dict[str, tuple[str, ...]] = {}
+
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "_texts", "_all")
+    __slots__ = ("tag", "attrs", "children", "parent", "_texts", "_all", "_idx")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
         self.tag = tag
@@ -45,6 +49,10 @@ class Element:
         # populated on the root by both parsers so whole-document
         # find_all_* queries skip the tree walk
         self._all: list[Element] | None = None
+        # lazy (class-token, tag, id) lookup tables over _all — built in
+        # ONE pass on the first whole-document query so each further
+        # query is a dict hit instead of a full scan
+        self._idx: tuple[dict, dict, dict] | None = None
 
     # -- selenium-equivalent accessors ------------------------------------
     def classes(self) -> list[str]:
@@ -96,7 +104,47 @@ class Element:
             return self._all
         return self.iter()
 
+    def _indexes(self) -> tuple[dict, dict, dict]:
+        """Build (class-token, tag, id) → document-order element lists
+        in one pass over the root's flat index. Only called when
+        ``_all`` is populated (i.e. on parse roots); lists keep document
+        order because ``_all`` does."""
+        if self._idx is None:
+            by_class: dict[str, list[Element]] = {}
+            by_tag: dict[str, list[Element]] = {}
+            by_id: dict[str, Element] = {}
+            split_memo = _CLASS_SPLIT_MEMO
+            for e in self._all:
+                attrs = e.attrs
+                if attrs:
+                    c = attrs.get("class")
+                    if c is not None:
+                        toks = split_memo.get(c)
+                        if toks is None:
+                            toks = tuple(c.split())
+                            if len(split_memo) < 4096:
+                                split_memo[c] = toks
+                        for tok in toks:
+                            lst = by_class.get(tok)
+                            if lst is None:
+                                by_class[tok] = [e]
+                            else:
+                                lst.append(e)
+                    i = attrs.get("id")
+                    if i is not None and i not in by_id:
+                        by_id[i] = e
+                t = e.tag
+                lst = by_tag.get(t)
+                if lst is None:
+                    by_tag[t] = [e]
+                else:
+                    lst.append(e)
+            self._idx = (by_class, by_tag, by_id)
+        return self._idx
+
     def find_all_by_class(self, token: str) -> list["Element"]:
+        if self._all is not None:
+            return list(self._indexes()[0].get(token, ()))
         out = []
         for e in self._scan():
             c = e.attrs.get("class")
@@ -105,9 +153,13 @@ class Element:
         return out
 
     def find_all_by_tag(self, tag: str) -> list["Element"]:
+        if self._all is not None:
+            return list(self._indexes()[1].get(tag, ()))
         return [e for e in self._scan() if e.tag == tag]
 
     def find_by_id(self, eid: str) -> "Element | None":
+        if self._all is not None:
+            return self._indexes()[2].get(eid)
         for e in self._scan():
             if e.attrs.get("id") == eid:
                 return e
@@ -207,6 +259,21 @@ _ASCII_LETTERS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 )
 
+# attr-blob → parsed attrs memo. Real pages repeat the same start tags
+# constantly (every `<div class="comment">`, nav item, …), so the attr
+# regex loop re-derives identical dicts thousands of times per task.
+# Parsing is a pure function of the blob, and Element never mutates its
+# attrs dict after construction (grep-audited), so sharing one dict per
+# distinct blob is safe. Only digit-free short blobs are inserted —
+# blobs embedding ids (`href="/project/b123/"`) are one-shot and would
+# churn the table — with a hard cap as backstop.
+_ATTRS_MEMO: dict[str, dict[str, str]] = {}
+# end-tag slice → lowered tag name ("</div>" → "div"): end tags are a
+# handful of distinct strings per corpus, so the _FAST_END regex only
+# runs on first sight of each
+_END_MEMO: dict[str, str] = {}
+_HAS_DIGIT = re.compile(r"\d")
+
 
 def _pop_to(stack: list[Element], tag: str) -> None:
     """Pop to the matching open tag if present (tolerant of misnesting)
@@ -263,23 +330,31 @@ def _parse_fast(html: str) -> Element | None:
             tag, blob, selfclose = m.group(1, 2, 3)
             tag = tag.lower()
             if blob:
-                attrs: dict[str, str] = {}
-                pos, blen = 0, len(blob)
-                while pos < blen:
-                    am = _FAST_ATTR.match(blob, pos)
-                    if am is None or am.end() == pos:
-                        # blob segmentation disagrees with the tag
-                        # match (should be unreachable) -> stdlib
-                        return None
-                    v = am.group(2)
-                    if v is None or not v:
-                        v = ""
-                    elif v[0] in "\"'":
-                        v = v[1:-1]
-                    if v and "&" in v:
-                        v = unescape(v)
-                    attrs[am.group(1).lower()] = v
-                    pos = am.end()
+                cached = _ATTRS_MEMO.get(blob)
+                if cached is not None:
+                    attrs = cached
+                else:
+                    attrs = {}
+                    pos, blen = 0, len(blob)
+                    while pos < blen:
+                        am = _FAST_ATTR.match(blob, pos)
+                        if am is None or am.end() == pos:
+                            # blob segmentation disagrees with the tag
+                            # match (should be unreachable) -> stdlib
+                            return None
+                        v = am.group(2)
+                        if v is None or not v:
+                            v = ""
+                        elif v[0] in "\"'":
+                            v = v[1:-1]
+                        if v and "&" in v:
+                            v = unescape(v)
+                        attrs[am.group(1).lower()] = v
+                        pos = am.end()
+                    if blen < 256 and _HAS_DIGIT.search(blob) is None:
+                        if len(_ATTRS_MEMO) >= 4096:
+                            _ATTRS_MEMO.clear()
+                        _ATTRS_MEMO[blob] = attrs
             else:
                 attrs = {}
             el = Element(tag, attrs, stack[-1])
@@ -306,9 +381,27 @@ def _parse_fast(html: str) -> Element | None:
             if gt < 0:  # parse_endtag -> -1 -> recovery
                 i = _recover(lt)
                 continue
+            # memo hit: the whole slice is a known well-formed end tag.
+            # _FAST_END's grammar admits no '>' before its final one, so
+            # a successful match always ends exactly at gt+1 — caching
+            # slice → name reproduces the regex byte-for-byte.
+            sl = html[lt : gt + 1]
+            tagname = _END_MEMO.get(sl)
+            if tagname is not None:
+                if stack[-1].tag == tagname:  # well-nested fast path
+                    stack.pop()
+                else:
+                    _pop_to(stack, tagname)
+                i = gt + 1
+                continue
             m = _FAST_END.match(html, lt)
             if m is not None:
-                _pop_to(stack, m.group(1).lower())
+                tagname = m.group(1).lower()
+                if len(sl) < 64 and _HAS_DIGIT.search(sl) is None:
+                    if len(_END_MEMO) >= 4096:
+                        _END_MEMO.clear()
+                    _END_MEMO[sl] = tagname
+                _pop_to(stack, tagname)
                 i = m.end()
                 continue
             if html[lt : lt + 3] == "</>":
