@@ -306,13 +306,27 @@ class CrawlEngine:
             "max_seq": int(ms) if ms is not None else -1,
             "trace_count": 0,
         }
-        self.t_trace.commit(self.spark.createDataFrame([], TRACE_SCHEMA), meta0)
-        self.t_lineage.commit(self.spark.createDataFrame([], LINEAGE_SCHEMA), meta0)
-        self.t_extracted.commit_delta(None, meta0)
-        self.t_rawmap.commit(self.spark.createDataFrame([], RAWMAP_SCHEMA), meta0)
-        self.t_sizes.commit(self.spark.createDataFrame([], SIZES_SCHEMA), meta0)
-        self.t_seen.commit(seen0, meta0)
-        self.t_bloom.commit(bloom0, meta0)
+        # all 8 initial commits are independent write jobs — run them
+        # concurrently (same discipline as _commit_state) and publish
+        # the frontier LAST (its HEAD is the consistency point). The
+        # serial form paid 4 separate full frontier passes (max_seq agg,
+        # seen, bloom build, frontier) back to back plus 4 empty-table
+        # write jobs, all on the driver's critical path.
+        writes = [
+            lambda: self.t_trace.commit(
+                self.spark.createDataFrame([], TRACE_SCHEMA), meta0),
+            lambda: self.t_lineage.commit(
+                self.spark.createDataFrame([], LINEAGE_SCHEMA), meta0),
+            lambda: self.t_extracted.commit_delta(None, meta0),
+            lambda: self.t_rawmap.commit(
+                self.spark.createDataFrame([], RAWMAP_SCHEMA), meta0),
+            lambda: self.t_sizes.commit(
+                self.spark.createDataFrame([], SIZES_SCHEMA), meta0),
+            lambda: self.t_seen.commit(seen0, meta0),
+            lambda: self.t_bloom.commit(bloom0, meta0),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            list(pool.map(lambda w: w(), writes))
         self.t_frontier.commit(frontier0, meta0)
         self._load_state()
 
@@ -798,7 +812,16 @@ class CrawlEngine:
                     publish=False)
             ),
             lambda: self.t_bloom.commit(
-                s["bloom"], meta, version=v, publish=False),
+                # the bitmap table is n_buckets rows spread over a full
+                # shuffle-partition fan-out; size the write from its
+                # known byte volume (bits/8 per bucket, ~256 MB per
+                # task) instead of paying a task per shuffle partition
+                s["bloom"].coalesce(max(1, min(
+                    self.cfg.n_buckets,
+                    (getattr(self.bloom, "n_bits", 0) // 8)
+                    * self.cfg.n_buckets // (256 << 20) + 1,
+                ))),
+                meta, version=v, publish=False),
             lambda: (
                 # frontier fold keeps the main=queue / history=done
                 # SPLIT (later incremental commits rewrite main): the
@@ -1251,19 +1274,30 @@ class CrawlEngine:
         # intermediates until the commit appends them as history
         # segments. coalesce: each round's unions would otherwise stack
         # partitions (k rounds → k·P tasks per downstream stage).
+        # Delta partition counts are SCALE-ADAPTIVE, derived from the
+        # row counts this round already collected (~1M narrow rows ≈
+        # 100 MB parquet per file — §6 file sizing): a constant
+        # cores×8 width turned every tiny delta write into a 32-task
+        # parquet job, and the 8-table concurrent commit paid that task
+        # fan-out at BOTH cluster sizes — pure per-round fixed cost.
+        def _delta_parts(rows: int) -> int:
+            return max(1, min(n_parts, -(-int(rows) // 1_000_000)))
+
         self._state = {
             "queue": queue2.coalesce(n_parts),
             "seen": seen2.coalesce(n_parts),
             "bloom": bloom2,
         }
-        self._done_deltas.append(done_delta.coalesce(n_parts))
-        self._seen_deltas.append(seen_delta.coalesce(n_parts))
-        self._ext_deltas.append(new_ext.coalesce(n_parts))
-        self._rawmap_deltas.append(raw_new.coalesce(n_parts))
+        self._done_deltas.append(
+            done_delta.coalesce(_delta_parts(n_deq + n_denied)))
+        self._seen_deltas.append(seen_delta.coalesce(_delta_parts(n_new)))
+        self._ext_deltas.append(new_ext.coalesce(_delta_parts(n_fetched)))
+        self._rawmap_deltas.append(raw_new.coalesce(_delta_parts(n_fetched)))
         if sizes_delta is not None:
-            self._sizes_deltas.append(sizes_delta.coalesce(8))
-        self._trace_deltas.append(trace_delta.coalesce(n_parts))
-        self._lineage_deltas.append(lineage_delta.coalesce(8))
+            self._sizes_deltas.append(
+                sizes_delta.coalesce(_delta_parts(n_fetched)))
+        self._trace_deltas.append(trace_delta.coalesce(_delta_parts(n_deq)))
+        self._lineage_deltas.append(lineage_delta.coalesce(1))
         self._round = r
         self._max_seq = max_seq + n_new
         self._trace_count = prev_total + n_deq
