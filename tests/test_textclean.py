@@ -119,6 +119,32 @@ def test_badwords_filter_tokens_and_phrases(spark):
     assert out[1].extra == "b"
 
 
+def test_badwords_filter_hof_and_join_paths_agree(spark, monkeypatch):
+    """r6 optimization: short token lists count via a zero-shuffle
+    higher-order filter instead of explode + broadcast join + join-back.
+    The two paths must agree bit-for-bit (counts, flags, column order)
+    and the fast path's plan must be join-free."""
+    import text2mc_dataprocessor_spark.operators.textclean as tc
+
+    rows = [
+        (0, "a", "badtokena end Bad Phrase Two here"),
+        (1, "b", ""),
+        (2, "c", "nothing bad here"),
+        (3, "d", "BADTOKENA badtokena badtokenb bad phrase two bad phrase two"),
+        (4, "e", "  spaced   badtokena\ttabbed  "),
+        (5, "f", "punct badtokena, not a word-match"),
+    ]
+    bw = ["badtokena", "badtokenb", "Bad Phrase Two"]
+    fast_df = tc.badwords_filter(_docs(spark, rows), bw)
+    fast = fast_df.orderBy("doc_id").collect()
+    assert "Join" not in fast_df._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(tc, "_HOF_TOKEN_MAX", -1)  # force the join shape
+    slow_df = tc.badwords_filter(_docs(spark, rows), bw)
+    assert slow_df.columns == fast_df.columns
+    assert [tuple(r) for r in fast] == [
+        tuple(r) for r in slow_df.orderBy("doc_id").collect()]
+
+
 def test_scrub_pii_ip_count_matches_replacements(spark):
     """ADVICE r4: an IPv4-shaped substring inside a matched email
     (user@1.2.3.4.example.com) is consumed by the email replace — n_ips

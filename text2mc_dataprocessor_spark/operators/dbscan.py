@@ -120,17 +120,18 @@ def dbscan_labels(df: DataFrame, x_col: str = "x", z_col: str = "z",
             .groupBy(F.col("q").alias("pid"))
             .agg(F.min("label").alias("nbr"))
         )
+        # carry the per-row changed flag INSIDE the checkpointed frame:
+        # the convergence probe is then a filter over already-
+        # materialized rows instead of a second join of new × labels —
+        # one cheap job per iteration instead of a shuffling one (r6)
         new = labels.join(nbr_min, "pid", "left").select(
-            "pid", F.least("label", F.coalesce("nbr", "label")).alias("label")
+            "pid",
+            F.least("label", F.coalesce("nbr", "label")).alias("label"),
+            (F.coalesce("nbr", "label") < F.col("label")).alias("_chg"),
         )
         new = new.localCheckpoint()  # plan would nest geometrically otherwise
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "pid")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter("_chg").limit(1).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
         it += 1

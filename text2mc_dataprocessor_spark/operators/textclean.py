@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 
 _TERMINAL_RE = '[.!?"]$'
 
+#: badwords_filter: token lists at or below this size are counted with
+#: the zero-shuffle literal-array higher-order filter; larger lists use
+#: the explode + broadcast-join shape (a literal array is scanned per
+#: word, so it must stay small enough that the per-word membership test
+#: is cheaper than the exploded join's shuffle).
+_HOF_TOKEN_MAX = 64
+
 
 def c4_line_keep_expr(line: Column, min_words_per_line: int = 3) -> Column:
     """The line predicate over one (untrimmed) line value."""
@@ -94,18 +101,42 @@ def badwords_filter(docs: DataFrame, badwords: list[str],
     ``n_badwords`` (total occurrences) and ``badwords_ok`` (zero
     tolerance, C4 semantics); the caller filters on the flag.
 
-    Matching is over lowercased whitespace-split words. Single-token
-    entries go through the scalable shape — explode words, broadcast
-    equi-join against the list, count per doc (at 100 TB the join is
-    word-row × tiny broadcast, never a per-doc linear scan of the
-    list). Multi-word entries (phrases) are matched as lowercased
-    substrings with an OR-fold JVM expression — phrase lists are
-    short in practice; both counts land in ``n_badwords``."""
+    Matching is over lowercased whitespace-split words. Short token
+    lists (≤ ``_HOF_TOKEN_MAX``, the overwhelmingly common case) are
+    counted with a zero-shuffle higher-order filter against a literal
+    array — the whole page rule rides the scan stage, no explode, no
+    join, no Exchange. Longer lists fall back to the explode +
+    broadcast equi-join shape (word-row × tiny broadcast — at 100 TB
+    never a per-word linear scan of a big list). Multi-word entries
+    (phrases) are matched as lowercased substrings with an OR-fold JVM
+    expression — phrase lists are short in practice; both counts land
+    in ``n_badwords``. (The two token paths agree whenever ``id_col``
+    is a key, which every caller guarantees; under duplicated ids the
+    join shape summed counts across rows sharing an id, a degenerate
+    aggregation no caller relies on.)"""
     spark = docs.sparkSession
     lower = [b.lower() for b in badwords]
     tokens = [b for b in lower if " " not in b]
     phrases = [b for b in lower if " " in b]
     lowered = F.lower(F.col(text_col))
+    phrase_n = None
+    for p in phrases:
+        occ = ((F.length(lowered) - F.length(
+            F.replace(lowered, F.lit(p), F.lit("")))) / len(p)).cast("long")
+        phrase_n = occ if phrase_n is None else phrase_n + occ
+    if len(tokens) <= _HOF_TOKEN_MAX:
+        words = F.split(F.trim(lowered), r"\s+")
+        if tokens:
+            tok_arr = F.array(*[F.lit(t) for t in tokens])
+            tok_n = F.size(
+                F.filter(words, lambda w: F.array_contains(tok_arr, w))
+            ).cast("long")
+        else:
+            tok_n = F.lit(0).cast("long")
+        n = (tok_n + (phrase_n if phrase_n is not None else F.lit(0))).cast(
+            "long")
+        return docs.withColumn("n_badwords", n).withColumn(
+            "badwords_ok", F.col("n_badwords") == 0)
     counts = docs.select(F.col(id_col))
     if tokens:
         bad_df = spark.createDataFrame([(t,) for t in tokens], "_bad string")
@@ -119,11 +150,6 @@ def badwords_filter(docs: DataFrame, badwords: list[str],
         counts = counts.join(tok_counts, id_col, "left")
     else:
         counts = counts.withColumn("_n_tok", F.lit(None).cast("long"))
-    phrase_n = None
-    for p in phrases:
-        occ = ((F.length(lowered) - F.length(
-            F.replace(lowered, F.lit(p), F.lit("")))) / len(p)).cast("long")
-        phrase_n = occ if phrase_n is None else phrase_n + occ
     out = docs.join(counts, id_col, "left").withColumn(
         "n_badwords",
         (F.coalesce(F.col("_n_tok"), F.lit(0))

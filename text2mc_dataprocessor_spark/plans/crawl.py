@@ -306,22 +306,20 @@ class CrawlEngine:
             "max_seq": int(ms) if ms is not None else -1,
             "trace_count": 0,
         }
-        # all 8 initial commits are independent write jobs — run them
-        # concurrently (same discipline as _commit_state) and publish
-        # the frontier LAST (its HEAD is the consistency point). The
-        # serial form paid 4 separate full frontier passes (max_seq agg,
-        # seen, bloom build, frontier) back to back plus 4 empty-table
-        # write jobs, all on the driver's critical path.
+        # the always-empty tables commit as manifest-only snapshots
+        # (commit_empty — no Spark write job for zero rows, r6); the
+        # three real initial commits are independent write jobs — run
+        # them concurrently (same discipline as _commit_state) and
+        # publish the frontier LAST (its HEAD is the consistency
+        # point). The r4 serial form paid 4 separate full frontier
+        # passes back to back plus 4 empty-table write jobs, all on
+        # the driver's critical path.
+        self.t_trace.commit_empty(TRACE_SCHEMA, meta0)
+        self.t_lineage.commit_empty(LINEAGE_SCHEMA, meta0)
+        self.t_extracted.commit_delta(None, meta0)
+        self.t_rawmap.commit_empty(RAWMAP_SCHEMA, meta0)
+        self.t_sizes.commit_empty(SIZES_SCHEMA, meta0)
         writes = [
-            lambda: self.t_trace.commit(
-                self.spark.createDataFrame([], TRACE_SCHEMA), meta0),
-            lambda: self.t_lineage.commit(
-                self.spark.createDataFrame([], LINEAGE_SCHEMA), meta0),
-            lambda: self.t_extracted.commit_delta(None, meta0),
-            lambda: self.t_rawmap.commit(
-                self.spark.createDataFrame([], RAWMAP_SCHEMA), meta0),
-            lambda: self.t_sizes.commit(
-                self.spark.createDataFrame([], SIZES_SCHEMA), meta0),
             lambda: self.t_seen.commit(seen0, meta0),
             lambda: self.t_bloom.commit(bloom0, meta0),
         ]

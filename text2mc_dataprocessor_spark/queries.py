@@ -2839,15 +2839,20 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gopher_repeated_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher repeated-n-gram COVERAGE fractions (operators/quality.py
-    ``repeated_ngram_char_fracs`` — strict positional coverage of every
-    n-gram occurring ≥ 2×, all requested n fused into one three-shuffle
-    pipeline): every 2nd doc re-appends its own first 8 words (planting
-    repeated 5…8-grams), every 6th its first 12 words (repeated
-    10-grams). Both fractions are hash-checked against the literal
-    DuckDB coverage mirror (dup n-grams → covered word positions →
-    distinct → char sum)."""
-    from .operators.quality import repeated_ngram_char_fracs
+    """Gopher repeated-n-gram COVERAGE fractions — strict positional
+    coverage of every n-gram occurring ≥ 2×: every 2nd doc re-appends
+    its own first 8 words (planting repeated 5…8-grams), every 6th its
+    first 12 words (repeated 10-grams). Both fractions are hash-checked
+    against the literal DuckDB coverage mirror (dup n-grams → covered
+    word positions → distinct → char sum).
+
+    r6: computed via the zero-Exchange Arrow projection
+    (``ngram_metrics_udf`` — one pandas_udf pass, no explode, no
+    shuffle), which the parity suite holds bit-for-bit against the
+    relational ``repeated_ngram_char_fracs`` mirror (kept in
+    operators/quality.py; the r5 form of this query ran the mirror's
+    5-shuffle pipeline)."""
+    from .operators.quality import ngram_metrics_udf
 
     d = F.col("doc_id")
     words8 = F.array_join(
@@ -2867,7 +2872,12 @@ def gopher_repeated_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return repeated_ngram_char_fracs(docs, ns=(5, 10))
+    m = ngram_metrics_udf(ngram_ns=(), rep_ns=(5, 10))
+    return docs.select("doc_id", m("text").alias("_m")).select(
+        "doc_id",
+        F.col("_m.rep_5gram_char_frac").alias("rep_5gram_char_frac"),
+        F.col("_m.rep_10gram_char_frac").alias("rep_10gram_char_frac"),
+    )
 
 
 def _h2t_oracle() -> str:

@@ -31,6 +31,42 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _force_nullable(dt):
+    """Parquet schema inference reports every column nullable; stored
+    writer schemas are normalized the same way so schema-from-manifest
+    reads are indistinguishable from inferred reads."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _force_nullable(f.dataType), True,
+                          f.metadata)
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_force_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_force_nullable(dt.keyType),
+                         _force_nullable(dt.valueType), True)
+    return dt
+
+
+def _schema_from_json(schema_json: str) -> T.StructType:
+    return _force_nullable(T.StructType.fromJson(json.loads(schema_json)))
+
+
+def _read_parquet(spark: SparkSession, paths: list[str],
+                  schema_json: str | None) -> DataFrame:
+    """Read parquet with the writer schema recorded in the manifest
+    when available — each schema-less ``spark.read.parquet`` pays a
+    driver-side footer-inference job per call, pure fixed cost on every
+    snapshot read (r6, guide §6); old manifests without a stored schema
+    fall back to inference."""
+    reader = spark.read
+    if schema_json:
+        reader = reader.schema(_schema_from_json(schema_json))
+    return reader.parquet(*paths)
 
 
 class SnapshotTable:
@@ -66,6 +102,39 @@ class SnapshotTable:
             "version": version,
             "parent": parent,
             "path": data_path,
+            "schema": df.schema.json(),
+            "meta": meta or {},
+        }
+        mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        if publish:
+            self.publish_version(version)
+        return version
+
+    def commit_empty(self, schema: T.StructType | str,
+                     meta: dict[str, Any] | None = None,
+                     version: int | None = None,
+                     publish: bool = True) -> int:
+        """Commit a KNOWN-empty snapshot without any Spark write job:
+        the manifest records ``path: null`` plus the schema, and every
+        reader synthesizes an empty frame from it. The engine's
+        ``init_frontier`` seeds five always-empty tables this way — the
+        old form paid one parquet write job per table for zero rows
+        (r6, pure fixed cost)."""
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        if version is None:
+            parent = self.current_version()
+            version = (parent or 0) + 1
+        else:
+            parent = version - 1 if version > 1 else None
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "path": None,
+            "schema": schema.json(),
             "meta": meta or {},
         }
         mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
@@ -121,14 +190,18 @@ class SnapshotTable:
         if main_df is not None:
             data_path = os.path.join(self.dir, "data", f"v{version}-{token}")
             main_df.write.mode("errorifexists").parquet(data_path)
+            schema_json = main_df.schema.json()
         else:
             if parent_manifest is None:
                 raise ValueError("first commit needs a main DataFrame")
-            data_path = parent_manifest["path"]  # byte-reused
+            data_path = parent_manifest["path"]  # byte-reused (may be None)
+            schema_json = parent_manifest.get("schema")
         if delta_df is not None:
             delta_path = os.path.join(self.dir, "data", f"v{version}-{token}-delta")
             delta_df.write.mode("errorifexists").parquet(delta_path)
             history.append(delta_path)
+            if schema_json is None:
+                schema_json = delta_df.schema.json()
         manifest = {
             "version": version,
             "parent": parent,
@@ -136,6 +209,8 @@ class SnapshotTable:
             "history": history,
             "meta": meta or {},
         }
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
@@ -154,15 +229,19 @@ class SnapshotTable:
 
     def read_main(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Only the main (rewritten) part of a snapshot."""
-        return spark.read.parquet(self.manifest(version)["path"])
+        m = self.manifest(version)
+        if m["path"] is None:  # commit_empty lineage — no data files
+            return spark.createDataFrame([], _schema_from_json(m["schema"]))
+        return _read_parquet(spark, [m["path"]], m.get("schema"))
 
     def read_history(self, spark: SparkSession,
                      version: int | None = None) -> DataFrame | None:
         """Only the appended history segments (None if there are none)."""
-        paths = self.manifest(version).get("history", [])
+        m = self.manifest(version)
+        paths = m.get("history", [])
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return _read_parquet(spark, paths, m.get("schema"))
 
     # -- read ---------------------------------------------------------------
     def current_version(self) -> int | None:
@@ -182,8 +261,11 @@ class SnapshotTable:
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """VERSION AS OF ``version`` (default: latest) — main ∪ history."""
         m = self.manifest(version)
-        paths = [m["path"]] + list(m.get("history", []))
-        return spark.read.parquet(*paths)
+        paths = [p for p in [m["path"], *m.get("history", [])]
+                 if p is not None]
+        if not paths:  # commit_empty with no appended history yet
+            return spark.createDataFrame([], _schema_from_json(m["schema"]))
+        return _read_parquet(spark, paths, m.get("schema"))
 
     def versions(self) -> list[int]:
         out = []
@@ -259,10 +341,16 @@ class BucketedSnapshotTable(SnapshotTable):
             if parent_manifest else {}
         )
         token = uuid.uuid4().hex[:8]
+        schema_json = (
+            parent_manifest.get("schema") if parent_manifest else None)
         if delta_df is not None:
             from pyspark.sql import functions as F
 
             spark = spark or delta_df.sparkSession
+            # readers open bucket dirs directly, so the partition column
+            # is absent from their frames — store the bucket-stripped
+            # writer schema
+            schema_json = delta_df.drop("_bkt").schema.json()
             delta_dir = os.path.join(self.dir, "data", f"v{version}-{token}-delta")
             # cluster by bucket before the partitioned write: otherwise
             # every input partition opens a writer per bucket it sees —
@@ -288,7 +376,7 @@ class BucketedSnapshotTable(SnapshotTable):
             fold = reduce(
                 lambda a, b: a.unionByName(b),
                 [
-                    spark.read.parquet(*paths).withColumn(
+                    _read_parquet(spark, paths, schema_json).withColumn(
                         "_bkt", F.lit(b).cast("int"))
                     for b, paths in overflow.items()
                 ],
@@ -306,6 +394,8 @@ class BucketedSnapshotTable(SnapshotTable):
             "buckets": buckets,
             "meta": meta or {},
         }
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
@@ -341,6 +431,7 @@ class BucketedSnapshotTable(SnapshotTable):
             "version": version,
             "parent": parent,
             "buckets": buckets,
+            "schema": df.drop("_bkt").schema.json(),
             "meta": meta or {},
         }
         mpath = os.path.join(self.dir, "manifests", f"v{version}.json")
@@ -356,19 +447,21 @@ class BucketedSnapshotTable(SnapshotTable):
         return {int(b): list(p) for b, p in m.get("buckets", {}).items()}
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
-        paths = [p for ps in self.bucket_paths(version).values() for p in ps]
+        m = self.manifest(version)
+        paths = [p for ps in m.get("buckets", {}).values() for p in ps]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return _read_parquet(spark, paths, m.get("schema"))
 
     def read_buckets(self, spark: SparkSession, buckets,
                      version: int | None = None) -> DataFrame | None:
         """Only the segments of ``buckets`` — the key-pruned scan."""
+        m = self.manifest(version)
         want = set(int(b) for b in buckets)
         paths = [
-            p for b, ps in self.bucket_paths(version).items()
-            if b in want for p in ps
+            p for b, ps in m.get("buckets", {}).items()
+            if int(b) in want for p in ps
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return _read_parquet(spark, paths, m.get("schema"))
