@@ -137,3 +137,25 @@ def test_long_chain_runs_to_fixpoint_and_max_iter_raises(spark):
     labels = run_spark_dbscan(spark, pts, eps=1.5, min_samples=2)
     check_equivalent(pts, 1.5, 2, labels)
     assert set(labels.values()) == {0}
+
+
+def test_local_and_distributed_paths_agree(spark, monkeypatch):
+    """r6: small distinct point sets solve driver-locally (bounded
+    collect + union-find); the distributed min-label loop is the
+    at-scale path. Both must emit the IDENTICAL labeled partition —
+    including border-point min-label assignment and (min x, min z)
+    renumbering — on randomized inputs."""
+    import text2mc_dataprocessor_spark.operators.dbscan as mod
+
+    rng = random.Random(99)
+    for trial in range(3):
+        pts = list({(rng.randrange(0, 40), rng.randrange(0, 40))
+                    for _ in range(120 + 40 * trial)})
+        df = spark.createDataFrame(list(pts), "x int, z int")
+        local = sorted(map(tuple, dbscan_labels(
+            df, eps=3.0, min_samples=3).collect()))
+        monkeypatch.setattr(mod, "LOCAL_MAX_POINTS", -1)  # force distributed
+        dist = sorted(map(tuple, dbscan_labels(
+            df, eps=3.0, min_samples=3).collect()))
+        monkeypatch.undo()
+        assert local == dist

@@ -411,17 +411,17 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
             .groupBy(F.col("q").alias("id"))
             .agg(F.min("cluster_id").alias("nbr"))
         )
+        # carry the changed flag INSIDE the checkpointed frame so the
+        # convergence probe is a filter over materialized rows, not a
+        # second shuffling join of new × old labels (r6, same move as
+        # operators/dbscan.py)
         new = labels.join(nbr_min, "id", "left").select(
             "id",
             F.least("cluster_id", F.coalesce("nbr", "cluster_id")).alias("cluster_id"),
+            (F.coalesce("nbr", "cluster_id") < F.col("cluster_id")).alias("_chg"),
         ).localCheckpoint()
-        changed = (
-            new.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter("_chg").limit(1).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()

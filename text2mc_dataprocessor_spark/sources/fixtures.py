@@ -314,6 +314,9 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 
 
 def pages_to_spark(spark, corpus: Corpus):
+    # pandas input rides the Arrow createDataFrame path: batches are
+    # converted driver-side and scanned JVM-side — no Python-worker
+    # round-trips per scan (unlike list-of-tuples local relations)
     return spark.createDataFrame(corpus.pages, schema=PAGES_SCHEMA)
 
 
