@@ -307,3 +307,27 @@ def test_embedding_near_dup_threshold(spark):
     pairs = D.embedding_near_dup(df, dim=64, threshold=0.95)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == expected
+
+
+def test_dup_clusters_local_and_distributed_agree(spark, monkeypatch):
+    """r6: small pair sets solve as a driver-local union-find; the
+    distributed min-label loop is the at-scale path. Identical
+    (doc_id, cluster_id) output on randomized graphs, long and string
+    ids alike."""
+    import random
+
+    import text2mc_dataprocessor_spark.operators.dedup as mod
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(0, 60), rng.randrange(0, 60))
+                  for _ in range(80) })
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    sdf = spark.createDataFrame(
+        [(f"u{a}", f"u{b}") for a, b in pairs], "id_a string, id_b string")
+    for frame in (df, sdf):
+        local = sorted(map(tuple, mod.dup_clusters(frame).collect()))
+        monkeypatch.setattr(mod, "_LOCAL_MAX_EDGES", -1)
+        dist = sorted(map(tuple, mod.dup_clusters(frame).collect()))
+        monkeypatch.undo()
+        assert local == dist and len(local) > 0

@@ -377,6 +377,11 @@ def embedding_near_dup(df: DataFrame, dim: int, threshold: float = 0.95,
 # Dup-cluster connected components + representative selection
 # ---------------------------------------------------------------------------
 
+#: directed-edge bound for the driver-local components solve (~2 MB of
+#: collected (p, q) rows); above it the distributed min-label loop runs
+_LOCAL_MAX_EDGES = 65536
+
+
 def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
                  b_col: str = "id_b") -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components over
@@ -399,6 +404,53 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
         .distinct()
         .persist()
     )
+    # bounded-collect fast path (r6, same pattern as dbscan_labels):
+    # dup-pair sets from one batch are usually far below the bound, and
+    # the propagation loop's per-iteration checkpoint + probe jobs are
+    # pure fixed cost. Components labeled by min member id via local
+    # union-find — identical to the propagation fixpoint (Python and
+    # Spark order strings by code point alike). take() doubles as the
+    # cache fill when the bound is exceeded and the loop runs unchanged.
+    head = edges.take(_LOCAL_MAX_EDGES + 1)
+    if len(head) <= _LOCAL_MAX_EDGES:
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(i):
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        for r_ in head:
+            p, q = r_["p"], r_["q"]
+            parent.setdefault(p, p)
+            parent.setdefault(q, q)
+            rp, rq = find(p), find(q)
+            if rp != rq:
+                parent[rq] = rp
+        comp_min: dict = {}
+        for i in parent:
+            r_i = find(i)
+            m = comp_min.get(r_i)
+            if m is None or i < m:
+                comp_min[r_i] = i
+        ids = sorted(parent)
+        pdf = pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": [comp_min[find(i)] for i in ids],
+        })
+        out_t = dict(zip(pairs.columns, [f.dataType for f in pairs.schema.fields]))
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField("doc_id", out_t[a_col]),
+            T.StructField("cluster_id", out_t[a_col]),
+        ])
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(pdf, schema=schema)
     labels = (
         edges.select(F.col("p").alias("id"))
         .distinct()
